@@ -1,0 +1,575 @@
+"""Vectorized multi-format timestamp parsing.
+
+Reference semantics (TimestampParser.java:90-167):
+
+* a LIST of formats is tried in order; first successful parse wins;
+* ruby dialect: full strptime directives, ``%N`` = 1..9 fraction digits
+  right-padded to nanos, ``%z`` also matches zone names ("UTC");
+* java dialect: Joda, millisecond resolution — fraction digits beyond
+  milliseconds are truncated UNLESS the format contains the grafted
+  ``nnnnnnnnn`` nano extension, in which case nanos are re-extracted from
+  the raw text by the first ``\\.(\\d+)`` digit-run (TimestampParser.java:157-167)
+  and REPLACE the sub-second part entirely (``:147-150``);
+* ``from_timezone`` applies only when the text itself carries no offset.
+
+Engines (both produce epoch-nanos int64; verified identical in tests):
+
+* ``catalyst`` — anchored regex per format, fields via ``regexp_extract``,
+  instant assembled with pure integer column arithmetic (days-from-civil),
+  formats cascaded with ``coalesce``. Whole-stage-codegen, no Python.
+* ``arrow``    — the same token IR compiled to ``pandas.str.extract`` +
+  numpy int64 math, for use inside pandas UDFs (Arrow batches).
+
+Parse failure of all formats yields NULL (the engine's error policy layer
+decides warn-vs-abort, mirroring stop_on_invalid_record).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import formats as FT
+from .formats import ParsedFormat, Tok
+
+# ---------------------------------------------------------------------------
+# zone-abbreviation offsets (seconds). Public, fixed abbreviations only —
+# the subset ruby's date parser resolves; DST-ambiguous names use the
+# conventional strptime values.
+# ---------------------------------------------------------------------------
+TZ_NAME_OFFSETS: dict[str, int] = {
+    "UTC": 0, "GMT": 0, "UT": 0, "Z": 0, "WET": 0,
+    "EST": -5 * 3600, "EDT": -4 * 3600, "CST": -6 * 3600, "CDT": -5 * 3600,
+    "MST": -7 * 3600, "MDT": -6 * 3600, "PST": -8 * 3600, "PDT": -7 * 3600,
+    "AKST": -9 * 3600, "AKDT": -8 * 3600, "HST": -10 * 3600,
+    "AST": -4 * 3600, "NST": int(-3.5 * 3600),
+    "BST": 3600, "CET": 3600, "CEST": 2 * 3600, "EET": 2 * 3600,
+    "EEST": 3 * 3600, "MSK": 3 * 3600,
+    "IST": int(5.5 * 3600), "JST": 9 * 3600, "KST": 9 * 3600,
+    "AEST": 10 * 3600, "AEDT": 11 * 3600, "NZST": 12 * 3600, "NZDT": 13 * 3600,
+}
+
+_MONTH_ABBR = ["jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec"]
+_MONTH_FULL = [
+    "january", "february", "march", "april", "may", "june",
+    "july", "august", "september", "october", "november", "december",
+]
+
+_OFFSET_RE = r"[+-]\d{2}(?::?\d{2})?(?::?\d{2})?"
+_NAME_RE = r"[A-Za-z]{1,5}"
+
+
+# ---------------------------------------------------------------------------
+# token IR → regex
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FieldRef:
+    tok: Tok
+    group: int  # 1-based regex capture-group index
+
+
+def _group_regex(tok: Tok, next_is_digit: bool) -> str:
+    k = tok.kind
+    if k == FT.Y4:
+        return r"(\d{4})"
+    if k in (FT.Y2, FT.CENTURY):
+        return r"(\d{2})"
+    if k in (FT.MONTH_NUM, FT.H24, FT.H12, FT.MINUTE, FT.SECOND, FT.DAY_NUM, FT.WEEK):
+        if tok.pad == "_":
+            return r"(\s?\d{1,2})"
+        return r"(\d{2})" if next_is_digit else r"(\d{1,2})"
+    if k == FT.DOY:
+        return r"(\d{3})" if next_is_digit else r"(\d{1,3})"
+    if k == FT.WDAY:
+        return r"(\d)"
+    if k == FT.FRAC:
+        return r"(\d{1,9})" if tok.variable else r"(\d{1,%d})" % tok.digits
+    if k == FT.MONTH_ABBR:
+        return r"([A-Za-z]{3})"
+    if k == FT.MONTH_FULL:
+        return r"([A-Za-z]{3,9})"
+    if k == FT.DAY_ABBR:
+        return r"([A-Za-z]{3})"
+    if k == FT.DAY_FULL:
+        return r"([A-Za-z]{3,9})"
+    if k == FT.AMPM:
+        return r"([AaPp]\.?[Mm]\.?)"
+    if k == FT.TZOFF:
+        # ruby %z also matches alphabetic zone names (date parser zone list)
+        return r"(%s|%s)" % (_OFFSET_RE, _NAME_RE)
+    if k == FT.TZNAME:
+        return r"(%s|%s)" % (_NAME_RE, _OFFSET_RE)
+    if k == FT.EPOCH:
+        return r"(-?\d{1,19})"
+    if k == FT.ERA:
+        return r"(AD|BC|CE|BCE)"
+    raise AssertionError(f"unhandled token {tok}")
+
+
+def build_regex(pf: ParsedFormat) -> tuple[str, list[FieldRef]]:
+    """Anchored regex + capture-group map for one parsed format."""
+    parts: list[str] = ["^"]
+    fields: list[FieldRef] = []
+    gi = 0
+    toks = pf.tokens
+    for i, tok in enumerate(toks):
+        if tok.kind == FT.LIT:
+            text = tok.text
+            # whitespace literals match a whitespace run (ruby strptime rule)
+            chunks = re.split(r"(\s+)", text)
+            for ch in chunks:
+                if not ch:
+                    continue
+                parts.append(r"\s+" if ch.isspace() else re.escape(ch))
+            continue
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        next_is_digit = nxt is not None and nxt.kind in FT._NUMERIC_KINDS
+        parts.append(_group_regex(tok, next_is_digit))
+        gi += 1
+        fields.append(FieldRef(tok, gi))
+    parts.append("$")
+    return "".join(parts), fields
+
+
+# ---------------------------------------------------------------------------
+# Catalyst assembly
+# ---------------------------------------------------------------------------
+
+
+def _col_days_from_civil(y: Column, m: Column, d: Column) -> Column:
+    """Days since 1970-01-01 from a proleptic-Gregorian civil date.
+
+    Howard Hinnant's public-domain days_from_civil algorithm, as pure
+    integer Column arithmetic (whole-stage codegen friendly).
+    """
+    y = y.cast("long") - F.when(m <= 2, F.lit(1)).otherwise(F.lit(0))
+    era = F.when(y >= 0, y).otherwise(y - 399)
+    era = F.call_function("div", era, F.lit(400))
+    yoe = y - era * 400  # [0, 399]
+    mp = F.when(m > 2, m - 3).otherwise(m + 9)  # [0, 11]
+    doy = F.call_function("div", F.lit(153) * mp + 2, F.lit(5)) + d - 1
+    doe = yoe * 365 + F.call_function("div", yoe, F.lit(4)) - F.call_function(
+        "div", yoe, F.lit(100)
+    ) + doy
+    return era * 146097 + doe - 719468
+
+
+def _col_month_from_name(g: Column, full: bool) -> Column:
+    names = _MONTH_FULL if full else _MONTH_ABBR
+    low = F.lower(g)
+    expr = F.lit(None).cast("int")
+    result = None
+    for idx, name in enumerate(names, start=1):
+        cond = low == name if full else F.substring(low, 1, 3) == name
+        result = F.when(cond, F.lit(idx)) if result is None else result.when(cond, F.lit(idx))
+    return result.otherwise(expr)
+
+
+def _col_offset_seconds(g: Column) -> Column:
+    """Offset seconds from a matched %z / Z group ("+09:00", "+0900",
+    "+09", "UTC", "JST", ...); NULL for unknown names (→ format rejected,
+    cascade moves on)."""
+    is_num = g.rlike(r"^[+-]")
+    digits = F.regexp_replace(g, ":", "")
+    sign = F.when(F.substring(digits, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
+    hh = F.substring(digits, 2, 2).try_cast("int")
+    mm = F.when(F.length(digits) >= 5, F.substring(digits, 4, 2).try_cast("int")).otherwise(F.lit(0))
+    ss = F.when(F.length(digits) >= 7, F.substring(digits, 6, 2).try_cast("int")).otherwise(F.lit(0))
+    num_off = sign * (hh * 3600 + mm * 60 + ss)
+
+    name_off = F.lit(None).cast("int")
+    upper = F.upper(g)
+    chain = None
+    for name, off in TZ_NAME_OFFSETS.items():
+        cond = upper == name
+        chain = F.when(cond, F.lit(off)) if chain is None else chain.when(cond, F.lit(off))
+    name_off = chain.otherwise(name_off)
+    return F.when(is_num, num_off).otherwise(name_off).cast("long")
+
+
+def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
+    """One format → epoch-nanos Column (NULL on mismatch/invalid)."""
+    pattern, fields = build_regex(pf)
+    by_kind: dict[str, list[FieldRef]] = {}
+    for fr in fields:
+        by_kind.setdefault(fr.tok.kind, []).append(fr)
+
+    def g(fr: FieldRef) -> Column:
+        return F.regexp_extract(col, pattern, fr.group)
+
+    def gi(fr: FieldRef) -> Column:
+        return F.trim(g(fr)).try_cast("int")
+
+    def first(kind: str) -> "FieldRef | None":
+        lst = by_kind.get(kind)
+        return lst[0] if lst else None
+
+    # --- epoch shortcut (%s) ---
+    ep = first(FT.EPOCH)
+    frac_f = first(FT.FRAC)
+
+    # fraction → nanos (digits right-padded to 9: TimestampParser.java:157-167)
+    if frac_f is not None:
+        fg = g(frac_f)
+        frac_nanos = fg.try_cast("long") * F.pow(F.lit(10), (F.lit(9) - F.length(fg))).cast("long")
+        if pf.dialect == "java" and not pf.java_nano_hack:
+            # Joda keeps milliseconds only (truncation)
+            frac_nanos = frac_nanos - F.pmod(frac_nanos, F.lit(1_000_000))
+    else:
+        frac_nanos = F.lit(0).cast("long")
+    if pf.dialect == "java" and pf.java_nano_hack:
+        # nano override from the raw text's first dotted digit-run
+        raw = F.regexp_extract(col, r"\.(\d+)", 1)
+        frac_nanos = F.when(
+            raw != "",
+            raw.try_cast("long") * F.pow(F.lit(10), (F.lit(9) - F.length(raw))).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    if ep is not None:
+        nanos = gi(ep).cast("long") * F.lit(1_000_000_000) + frac_nanos
+        return F.when(col.rlike(pattern), nanos).otherwise(F.lit(None).cast("long"))
+
+    # --- civil date ---
+    y4, y2, cen = first(FT.Y4), first(FT.Y2), first(FT.CENTURY)
+    if y4 is not None:
+        year = gi(y4)
+    elif y2 is not None:
+        two = gi(y2)
+        if cen is not None:
+            year = gi(cen) * 100 + two
+        else:
+            # ruby strptime pivot: 00-68 → 20xx, 69-99 → 19xx
+            year = F.when(two < 69, two + 2000).otherwise(two + 1900)
+    else:
+        year = F.lit(1970)
+
+    mn, mab, mfl = first(FT.MONTH_NUM), first(FT.MONTH_ABBR), first(FT.MONTH_FULL)
+    if mn is not None:
+        month = gi(mn)
+    elif mab is not None:
+        month = _col_month_from_name(g(mab), full=False)
+    elif mfl is not None:
+        month = _col_month_from_name(g(mfl), full=True)
+    else:
+        month = F.lit(1)
+
+    dn = first(FT.DAY_NUM)
+    day = gi(dn) if dn is not None else F.lit(1)
+
+    doy = first(FT.DOY)
+    if doy is not None and mn is None and mab is None and mfl is None:
+        days = _col_days_from_civil(year, F.lit(1), F.lit(1)) + gi(doy) - 1
+        valid_date = gi(doy).between(1, 366)
+    else:
+        days = _col_days_from_civil(year, month, day)
+        valid_date = month.between(1, 12) & day.between(1, 31)
+
+    # --- time of day ---
+    h24, h12, ampm = first(FT.H24), first(FT.H12), first(FT.AMPM)
+    if h24 is not None:
+        hour = gi(h24)
+        valid_hour = hour.between(0, 23)
+    elif h12 is not None:
+        h = gi(h12)
+        if ampm is not None:
+            is_pm = F.lower(F.substring(F.trim(g(ampm)), 1, 1)) == "p"
+            hour = F.pmod(h, F.lit(12)) + F.when(is_pm, F.lit(12)).otherwise(F.lit(0))
+        else:
+            hour = F.pmod(h, F.lit(12))
+        valid_hour = h.between(1, 12)
+    else:
+        hour = F.lit(0)
+        valid_hour = F.lit(True)
+
+    mi, se = first(FT.MINUTE), first(FT.SECOND)
+    minute = gi(mi) if mi is not None else F.lit(0)
+    second = gi(se) if se is not None else F.lit(0)
+    valid_time = valid_hour & minute.between(0, 59) & second.between(0, 60)
+
+    naive_sec = (
+        days.cast("long") * 86400
+        + hour.cast("long") * 3600
+        + minute.cast("long") * 60
+        + second.cast("long")
+    )
+
+    # --- timezone ---
+    tzoff, tzname = first(FT.TZOFF), first(FT.TZNAME)
+    zone_f = tzoff or tzname
+    if zone_f is not None:
+        zg = g(zone_f)
+        off = _col_offset_seconds(zg)
+        utc_sec = naive_sec - off  # NULL offset (unknown name) → NULL result
+    else:
+        utc_sec = _apply_from_tz_col(naive_sec, from_tz)
+
+    nanos = utc_sec * F.lit(1_000_000_000) + frac_nanos
+    ok = col.rlike(pattern) & valid_date & valid_time
+    return F.when(ok, nanos).otherwise(F.lit(None).cast("long"))
+
+
+def _fixed_offset_seconds(tz: str) -> "int | None":
+    """Constant UTC offset for fixed-offset zone specs, else None."""
+    if tz in TZ_NAME_OFFSETS:
+        return TZ_NAME_OFFSETS[tz]
+    m = re.fullmatch(r"([+-])(\d{2}):?(\d{2})", tz)
+    if m:
+        sign = -1 if m.group(1) == "-" else 1
+        return sign * (int(m.group(2)) * 3600 + int(m.group(3)) * 60)
+    try:
+        from zoneinfo import ZoneInfo
+        from datetime import datetime, timezone
+
+        z = ZoneInfo(tz)
+        # fixed iff offset identical at two probes far apart (DST check)
+        a = datetime(2020, 1, 15, tzinfo=timezone.utc).astimezone(z).utcoffset()
+        b = datetime(2020, 7, 15, tzinfo=timezone.utc).astimezone(z).utcoffset()
+        c = datetime(1995, 7, 15, tzinfo=timezone.utc).astimezone(z).utcoffset()
+        if a == b == c:
+            return int(a.total_seconds())
+    except Exception:
+        pass
+    return None
+
+
+def _apply_from_tz_col(naive_sec: Column, from_tz: str) -> Column:
+    off = _fixed_offset_seconds(from_tz)
+    if off is not None:
+        return naive_sec - F.lit(off)
+    # DST zone: resolve wall-clock → instant through the JVM tz database
+    return F.unix_seconds(F.to_utc_timestamp(F.timestamp_seconds(naive_sec), from_tz))
+
+
+# ---------------------------------------------------------------------------
+# numpy / Arrow assembly (same token IR; for pandas-UDF engine)
+# ---------------------------------------------------------------------------
+
+
+def _np_days_from_civil(y: np.ndarray, m: np.ndarray, d: np.ndarray) -> np.ndarray:
+    y = y.astype(np.int64) - (m <= 2)
+    era = np.where(y >= 0, y, y - 399) // 400
+    yoe = y - era * 400
+    mp = np.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + d.astype(np.int64) - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _np_offset_seconds(vals: pd.Series) -> np.ndarray:
+    """Offset seconds from matched zone strings; NaN for unknown names."""
+    out = np.full(len(vals), np.nan)
+    s = vals.fillna("")
+    is_num = s.str.match(r"^[+-]")
+    digits = s.str.replace(":", "", regex=False)
+    if is_num.any():
+        sign = np.where(digits.str.startswith("-"), -1, 1)
+        hh = pd.to_numeric(digits.str[1:3], errors="coerce")
+        mm = pd.to_numeric(digits.str[3:5], errors="coerce").fillna(0)
+        ss = pd.to_numeric(digits.str[5:7], errors="coerce").fillna(0)
+        num_off = sign * (hh * 3600 + mm * 60 + ss)
+        out = np.where(is_num, num_off, out)
+    upper = s.str.upper()
+    named = upper.map(TZ_NAME_OFFSETS)
+    out = np.where(~is_num & named.notna(), named.fillna(0), out)
+    return out
+
+
+def np_parse_format(s: pd.Series, pf: ParsedFormat, from_tz: str) -> tuple[np.ndarray, np.ndarray]:
+    """One format → (epoch-nanos int64, invalid bool mask)."""
+    pattern, fields = build_regex(pf)
+    sstr = s.astype("string")
+    if fields:
+        ext = sstr.str.extract(pattern)
+        ncols = {fr.group - 1: fr for fr in fields}
+        # all capture groups are required → group 1 non-null iff matched
+        matched = ext[0].notna()
+    else:
+        ext = pd.DataFrame(index=s.index)
+        ncols = {}
+        matched = sstr.str.match(pattern).fillna(False)
+
+    def col(kind: str) -> "pd.Series | None":
+        for i, fr in ncols.items():
+            if fr.tok.kind == kind:
+                return ext[i]
+        return None
+
+    def colnum(kind: str) -> "pd.Series | None":
+        c = col(kind)
+        if c is None:
+            return None
+        return pd.to_numeric(c.str.strip(), errors="coerce")
+
+    n = len(s)
+    invalid = ~matched.to_numpy(dtype=bool)
+
+    frac_c = col(FT.FRAC)
+    if frac_c is not None:
+        flen = frac_c.str.len().fillna(0).to_numpy(dtype=np.int64)
+        fval = pd.to_numeric(frac_c, errors="coerce").fillna(0).to_numpy(dtype=np.int64)
+        frac_nanos = fval * np.power(10, np.clip(9 - flen, 0, 9)).astype(np.int64)
+        if pf.dialect == "java" and not pf.java_nano_hack:
+            frac_nanos -= frac_nanos % 1_000_000
+    else:
+        frac_nanos = np.zeros(n, dtype=np.int64)
+    if pf.dialect == "java" and pf.java_nano_hack:
+        raw = sstr.str.extract(r"\.(\d+)")[0]
+        rlen = raw.str.len().fillna(0).to_numpy(dtype=np.int64)
+        rval = pd.to_numeric(raw, errors="coerce").fillna(0).to_numpy(dtype=np.int64)
+        frac_nanos = rval * np.power(10, np.clip(9 - rlen, 0, 9)).astype(np.int64)
+
+    ep = colnum(FT.EPOCH)
+    if ep is not None:
+        sec = ep.fillna(0).to_numpy(dtype=np.int64)
+        nanos = sec * 1_000_000_000 + frac_nanos
+        return nanos, invalid | ep.isna().to_numpy()
+
+    y4, y2, cen = colnum(FT.Y4), colnum(FT.Y2), colnum(FT.CENTURY)
+    if y4 is not None:
+        year = y4.fillna(1970).to_numpy(dtype=np.int64)
+    elif y2 is not None:
+        two = y2.fillna(0).to_numpy(dtype=np.int64)
+        if cen is not None:
+            year = cen.fillna(19).to_numpy(dtype=np.int64) * 100 + two
+        else:
+            year = np.where(two < 69, two + 2000, two + 1900)
+    else:
+        year = np.full(n, 1970, dtype=np.int64)
+
+    month = colnum(FT.MONTH_NUM)
+    if month is not None:
+        month = month.fillna(1).to_numpy(dtype=np.int64)
+    else:
+        mab, mfl = col(FT.MONTH_ABBR), col(FT.MONTH_FULL)
+        if mab is not None:
+            month = mab.str.lower().str[:3].map(
+                {name: i + 1 for i, name in enumerate(_MONTH_ABBR)}
+            )
+            invalid |= matched.to_numpy(dtype=bool) & month.isna().to_numpy()
+            month = month.fillna(1).to_numpy(dtype=np.int64)
+        elif mfl is not None:
+            month = mfl.str.lower().map(
+                {name: i + 1 for i, name in enumerate(_MONTH_FULL)}
+            )
+            invalid |= matched.to_numpy(dtype=bool) & month.isna().to_numpy()
+            month = month.fillna(1).to_numpy(dtype=np.int64)
+        else:
+            month = np.ones(n, dtype=np.int64)
+
+    dayn = colnum(FT.DAY_NUM)
+    day = dayn.fillna(1).to_numpy(dtype=np.int64) if dayn is not None else np.ones(n, dtype=np.int64)
+
+    doyn = colnum(FT.DOY)
+    if doyn is not None and col(FT.MONTH_NUM) is None and col(FT.MONTH_ABBR) is None and col(FT.MONTH_FULL) is None:
+        doyv = doyn.fillna(1).to_numpy(dtype=np.int64)
+        days = _np_days_from_civil(year, np.ones(n, dtype=np.int64), np.ones(n, dtype=np.int64)) + doyv - 1
+        invalid |= (doyv < 1) | (doyv > 366)
+    else:
+        days = _np_days_from_civil(year, month, day)
+        invalid |= (month < 1) | (month > 12) | (day < 1) | (day > 31)
+
+    h24, h12 = colnum(FT.H24), colnum(FT.H12)
+    ampm = col(FT.AMPM)
+    if h24 is not None:
+        hour = h24.fillna(0).to_numpy(dtype=np.int64)
+        invalid |= (hour < 0) | (hour > 23)
+    elif h12 is not None:
+        h = h12.fillna(0).to_numpy(dtype=np.int64)
+        invalid |= (h < 1) | (h > 12)
+        pm = (
+            ampm.str.strip().str.lower().str.startswith("p").fillna(False).to_numpy(dtype=bool)
+            if ampm is not None
+            else np.zeros(n, dtype=bool)
+        )
+        hour = h % 12 + np.where(pm, 12, 0)
+    else:
+        hour = np.zeros(n, dtype=np.int64)
+
+    mi, se = colnum(FT.MINUTE), colnum(FT.SECOND)
+    minute = mi.fillna(0).to_numpy(dtype=np.int64) if mi is not None else np.zeros(n, dtype=np.int64)
+    second = se.fillna(0).to_numpy(dtype=np.int64) if se is not None else np.zeros(n, dtype=np.int64)
+    invalid |= (minute < 0) | (minute > 59) | (second < 0) | (second > 60)
+
+    naive_sec = days * 86400 + hour * 3600 + minute * 60 + second
+
+    zg = col(FT.TZOFF)
+    if zg is None:
+        zg = col(FT.TZNAME)
+    if zg is not None:
+        off = _np_offset_seconds(zg)
+        invalid |= np.isnan(off)
+        utc_sec = naive_sec - np.nan_to_num(off).astype(np.int64)
+    else:
+        utc_sec = _np_apply_from_tz(naive_sec, from_tz)
+
+    nanos = utc_sec * 1_000_000_000 + frac_nanos
+    return nanos, invalid
+
+
+def _np_apply_from_tz(naive_sec: np.ndarray, from_tz: str) -> np.ndarray:
+    off = _fixed_offset_seconds(from_tz)
+    if off is not None:
+        return naive_sec - off
+    # DST zone: localize wall-clock seconds via pandas/zoneinfo
+    idx = pd.DatetimeIndex(naive_sec.astype("datetime64[s]"))
+    localized = idx.tz_localize(from_tz, ambiguous=True, nonexistent="shift_forward")
+    return localized.tz_convert("UTC").asi8 // 1_000_000_000
+
+
+def np_parse(s: pd.Series, pfs: list[ParsedFormat], from_tz: str) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-format cascade → (epoch-nanos int64, valid bool mask).
+
+    Vectorized fallback: parse everything with format 1, re-parse only the
+    still-invalid remainder with format 2, etc. (strictly better than the
+    reference's per-row loop, same first-match-wins semantics).
+    """
+    n = len(s)
+    out = np.zeros(n, dtype=np.int64)
+    valid = np.zeros(n, dtype=bool)
+    isnull = s.isna().to_numpy(dtype=bool)
+    remaining = ~isnull
+    for pf in pfs:
+        if not remaining.any():
+            break
+        sub = s[remaining]
+        nanos, invalid = np_parse_format(sub, pf, from_tz)
+        ok = ~invalid
+        ridx = np.flatnonzero(remaining)
+        hit = ridx[ok]
+        out[hit] = nanos[ok]
+        valid[hit] = True
+        remaining[hit] = False
+    return out, valid
+
+
+# ---------------------------------------------------------------------------
+# public facade
+# ---------------------------------------------------------------------------
+
+
+class TimestampParserPlan:
+    """Per-column parse plan: format list + from_timezone, compiled once
+    (the analog of the reference's per-task parser cache,
+    ColumnCaster.java:37-58)."""
+
+    def __init__(self, formats: list[str], from_timezone: str = "UTC"):
+        if not formats:
+            raise ValueError("format list must not be empty")
+        self.formats = list(formats)
+        self.from_timezone = from_timezone
+        self.parsed = [FT.parse_format(f) for f in formats]
+
+    def parse_expr(self, col: Column) -> Column:
+        """Catalyst cascade → epoch-nanos (long) or NULL."""
+        exprs = [format_parse_expr(col, pf, self.from_timezone) for pf in self.parsed]
+        return exprs[0] if len(exprs) == 1 else F.coalesce(*exprs)
+
+    def parse_np(self, s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        return np_parse(s, self.parsed, self.from_timezone)

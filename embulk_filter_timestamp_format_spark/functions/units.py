@@ -217,7 +217,7 @@ def col_long_to_nanos(c: Column, from_unit: TimestampUnit) -> Column:
 
 def col_double_to_nanos(c: Column, from_unit: TimestampUnit) -> Column:
     # double→long cast in Spark truncates toward zero (Java (long) cast).
-    return (c * F.lit(float(from_unit.scale_to_nano))).cast("long")
+    return (c * F.lit(float(from_unit.scale_to_nano))).try_cast("long")
 
 
 def col_nanos_to_long(nanos: Column, to_unit: TimestampUnit) -> Column:
