@@ -1,0 +1,337 @@
+"""IceTable: parquet data files + JSON snapshot log with atomic commits.
+
+Layout::
+
+    root/
+      data/<uuid>.parquet          immutable data files (one per bucket write)
+      metadata/v<N>.json           snapshot N (exclusive-create = atomic CAS)
+
+Snapshot JSON::
+
+    {"version": N, "parent": N-1,
+     "schema": <spark schema json>, "schema_version": K,
+     "spec": {"key": "doc_id", "num_buckets": B},
+     "files": [{"path": "data/..", "bucket": 7, "rows": 123,
+                "schema_version": K}],
+     "summary": {"batch_ids": {"<source>": <last applied batch id>},
+                 "lineage": [...], "operation": "merge|append|evolve"}}
+
+Guarantees (the Iceberg subset the north rule uses):
+
+* **snapshot isolation / time travel** — readers pin a version; files are
+  immutable; `read(version=...)`.
+* **atomic commit** — `open(path, 'x')` exclusive create of v<N>.json is
+  the commit point; losers of a race retry on the next version.
+* **idempotent batch-id fencing** — `merge_into(..., batch_id=)` is a
+  no-op when the batch id was already applied for that source (duplicate
+  micro-batch delivery / restart replay → exactly-once table state).
+* **schema evolution** — retype-in-place commits bump schema_version;
+  old files are read with their original schema and cast-projected to
+  the latest (the reference's buildOuputSchema rule applied lake-side).
+* **copy-on-write MERGE by bucket** — only buckets containing updated
+  keys are rewritten; cost ∝ touched data, never table size. Bucket
+  count is the merge-parallelism knob at cluster scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class CommitConflict(Exception):
+    pass
+
+
+class IceTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------------
+    # catalog
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key: str = "doc_id",
+        num_buckets: int = 16,
+    ) -> "IceTable":
+        t = cls(spark, root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = {
+            "version": 1,
+            "parent": None,
+            "schema": json.loads(schema.json()),
+            "schema_version": 1,
+            "spec": {"key": key, "num_buckets": num_buckets},
+            "files": [],
+            "summary": {"batch_ids": {}, "lineage": [], "operation": "create"},
+        }
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "IceTable":
+        t = cls(spark, root)
+        if t.current_version() is None:
+            raise FileNotFoundError(f"no icetable at {root}")
+        return t
+
+    # ------------------------------------------------------------------
+    # snapshot log
+    # ------------------------------------------------------------------
+
+    def current_version(self) -> "int | None":
+        try:
+            versions = [
+                int(f[1:-5])
+                for f in os.listdir(self.meta_dir)
+                if f.startswith("v") and f.endswith(".json")
+            ]
+        except FileNotFoundError:
+            return None
+        return max(versions) if versions else None
+
+    def snapshot(self, version: "int | None" = None) -> dict:
+        v = version if version is not None else self.current_version()
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        v = self.current_version()
+        out = []
+        for i in range(1, (v or 0) + 1):
+            snap = self.snapshot(i)
+            out.append(
+                {
+                    "version": snap["version"],
+                    "operation": snap["summary"].get("operation"),
+                    "batch_ids": snap["summary"].get("batch_ids", {}),
+                    "num_files": len(snap["files"]),
+                }
+            )
+        return out
+
+    def _write_snapshot(self, snap: dict) -> None:
+        """Atomic commit: exclusive create of the next version file."""
+        path = os.path.join(self.meta_dir, f"v{snap['version']}.json")
+        try:
+            with open(path, "x") as f:
+                json.dump(snap, f, indent=1)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {snap['version']} already committed (concurrent writer)"
+            ) from None
+
+    # ------------------------------------------------------------------
+    # read path
+    # ------------------------------------------------------------------
+
+    def schema(self, version: "int | None" = None) -> T.StructType:
+        return T.StructType.fromJson(self.snapshot(version)["schema"])
+
+    def read(self, version: "int | None" = None) -> DataFrame:
+        """Snapshot read; old-schema files are cast-projected to the
+        snapshot schema (schema-evolution read rule)."""
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(snap["schema"])
+        files = snap["files"]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        by_sv: dict[int, list[str]] = {}
+        for f in files:
+            by_sv.setdefault(f.get("schema_version", 1), []).append(
+                os.path.join(self.root, f["path"])
+            )
+        parts = []
+        for sv, paths in by_sv.items():
+            df = self.spark.read.parquet(*paths)
+            missing = [f.name for f in schema.fields if f.name not in df.columns]
+            cols = []
+            for f in schema.fields:
+                if f.name in df.columns:
+                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_buckets(self, snap: dict, buckets: set[int]) -> "DataFrame | None":
+        schema = T.StructType.fromJson(snap["schema"])
+        paths = [
+            os.path.join(self.root, f["path"])
+            for f in snap["files"]
+            if f["bucket"] in buckets
+        ]
+        if not paths:
+            return None
+        df = self.spark.read.parquet(*paths)
+        cols = [
+            (F.col(f.name) if f.name in df.columns else F.lit(None)).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
+
+    # ------------------------------------------------------------------
+    # write paths
+    # ------------------------------------------------------------------
+
+    def _bucket_expr(self, key: str, num_buckets: int):
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+
+    def _write_data_files(self, df: DataFrame, key: str, num_buckets: int, schema_version: int):
+        """Write df bucketed by key; returns file entries for the snapshot.
+
+        One output dir per write; files are registered with their bucket so
+        later merges prune by bucket. Co-locates each bucket in one file
+        via repartition on the bucket column (the shuffle that makes every
+        later merge join bucket-local).
+        """
+        tag = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, tag)
+        with_bucket = df.withColumn("__bucket", self._bucket_expr(key, num_buckets))
+        (
+            with_bucket.repartition(num_buckets, F.col("__bucket"))
+            .write.partitionBy("__bucket")
+            .mode("append")
+            .parquet(out_dir)
+        )
+        entries = []
+        for bdir in os.listdir(out_dir):
+            if not bdir.startswith("__bucket="):
+                continue
+            bucket = int(bdir.split("=")[1])
+            for fn in os.listdir(os.path.join(out_dir, bdir)):
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(
+                        os.path.join(out_dir, bdir, fn), self.root
+                    )
+                    entries.append(
+                        {"path": rel, "bucket": bucket, "schema_version": schema_version}
+                    )
+        return entries
+
+    def append(self, df: DataFrame, batch_id: "int | None" = None, source: str = "default") -> int:
+        snap = self.snapshot()
+        if batch_id is not None and self._fenced(snap, source, batch_id):
+            return snap["version"]
+        spec = snap["spec"]
+        entries = self._write_data_files(
+            df, spec["key"], spec["num_buckets"], snap["schema_version"]
+        )
+        new = self._child(snap, "append")
+        new["files"] = snap["files"] + entries
+        if batch_id is not None:
+            new["summary"]["batch_ids"][source] = batch_id
+        self._write_snapshot(new)
+        return new["version"]
+
+    def merge_into(
+        self,
+        updates: DataFrame,
+        batch_id: "int | None" = None,
+        source: str = "default",
+        op_col: str = "op",
+        lineage: "dict | None" = None,
+    ) -> int:
+        """Copy-on-write MERGE: `updates` has one row per key with op I/U/D
+        (pre-deduped by the caller); I/U upsert the payload, D deletes.
+        Only buckets containing updated keys are rewritten.
+
+        Returns the committed version (unchanged when the batch is fenced).
+        """
+        snap = self.snapshot()
+        if batch_id is not None and self._fenced(snap, source, batch_id):
+            return snap["version"]
+        spec = snap["spec"]
+        key, num_buckets = spec["key"], spec["num_buckets"]
+        schema = T.StructType.fromJson(snap["schema"])
+        payload_cols = [f.name for f in schema.fields]
+
+        u = updates.withColumn("__bucket", self._bucket_expr(key, num_buckets))
+        touched = {r["__bucket"] for r in u.select("__bucket").distinct().collect()}
+        target = self._read_buckets(snap, touched)
+
+        ucols = u.select(
+            F.col(key).alias("__k"),
+            F.col(op_col).alias("__op"),
+            *[F.col(c).alias(f"__u_{c}") for c in payload_cols],
+        )
+        if target is None:
+            merged = ucols.filter(F.col("__op") != "D").select(
+                *[F.col(f"__u_{c}").alias(c) for c in payload_cols]
+            )
+        else:
+            joined = target.join(ucols, target[key] == ucols["__k"], "full_outer")
+            has_update = F.col("__op").isNotNull()
+            merged = (
+                joined.filter(~(has_update & (F.col("__op") == "D")))
+                .select(
+                    *[
+                        F.when(has_update, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
+                        for c in payload_cols
+                    ]
+                )
+            )
+
+        entries = self._write_data_files(merged, key, num_buckets, snap["schema_version"])
+        new = self._child(snap, "merge")
+        new["files"] = [f for f in snap["files"] if f["bucket"] not in touched] + entries
+        if batch_id is not None:
+            new["summary"]["batch_ids"][source] = batch_id
+        if lineage is not None:
+            new["summary"]["lineage"] = [lineage]
+        self._write_snapshot(new)
+        return new["version"]
+
+    def evolve_schema(self, new_schema: T.StructType) -> int:
+        """Retype-in-place / add-column schema evolution commit. Existing
+        data files stay; readers cast-project them to the new schema."""
+        snap = self.snapshot()
+        new = self._child(snap, "evolve")
+        new["schema"] = json.loads(new_schema.json())
+        new["schema_version"] = snap["schema_version"] + 1
+        new["files"] = snap["files"]
+        self._write_snapshot(new)
+        return new["version"]
+
+    # ------------------------------------------------------------------
+
+    def _child(self, snap: dict, operation: str) -> dict:
+        return {
+            "version": snap["version"] + 1,
+            "parent": snap["version"],
+            "schema": snap["schema"],
+            "schema_version": snap["schema_version"],
+            "spec": snap["spec"],
+            "files": [],
+            "summary": {
+                "batch_ids": dict(snap["summary"].get("batch_ids", {})),
+                "lineage": [],
+                "operation": operation,
+            },
+        }
+
+    @staticmethod
+    def _fenced(snap: dict, source: str, batch_id: int) -> bool:
+        last = snap["summary"].get("batch_ids", {}).get(source)
+        return last is not None and batch_id <= last
+
+    def last_batch_id(self, source: str = "default") -> "int | None":
+        return self.snapshot()["summary"].get("batch_ids", {}).get(source)

@@ -1,0 +1,230 @@
+"""Projection planner: TaskConfig × input schema → one `select`.
+
+This is the whole reference plugin as a Spark transformation:
+
+* analysis/validation  = configure()            (TimestampFormatFilterPlugin.java:92-121)
+* output schema retype = buildOuputSchema()     (:124-140)
+* execution            = a single column-pruned projection; untargeted
+  columns pass through verbatim (ColumnVisitorImpl.java:101-225), NULLs
+  propagate, configured columns run the compiled CastPlan.
+
+Engines:
+* 'catalyst' — cast expressions inline in the select (whole-stage codegen);
+* 'arrow'    — one `mapInPandas` over Arrow batches applying the numpy
+  kernels (the pandas-UDF schema-coercion layer; identical results).
+
+JSON columns (StringType holding JSON) addressed via JSONPath run the
+batch-vectorized JsonRewritePlan in a pandas UDF under either engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.cast import CastPlan
+from ..functions.format import TimestampFormatterPlan
+from ..functions.jsonpath import JsonRewritePlan, is_jsonpath, root_column
+from ..functions.parse import TimestampParserPlan
+from .config import ColumnConfig, ConfigError, TaskConfig
+
+_SPARK_TO_SOURCE = {
+    T.LongType: "long",
+    T.IntegerType: "long",
+    T.ShortType: "long",
+    T.DoubleType: "double",
+    T.FloatType: "double",
+    T.StringType: "string",
+    T.TimestampType: "timestamp",
+    T.BooleanType: "boolean",
+}
+
+_TARGET_TO_SPARK = {
+    "string": T.StringType(),
+    "timestamp": T.TimestampType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+}
+
+
+def _source_type_of(dtype: T.DataType) -> "str | None":
+    return _SPARK_TO_SOURCE.get(type(dtype))
+
+
+def _split_configs(task: TaskConfig) -> tuple[list[ColumnConfig], dict[str, list[ColumnConfig]]]:
+    plain: list[ColumnConfig] = []
+    by_root: dict[str, list[ColumnConfig]] = {}
+    for c in task.columns:
+        if is_jsonpath(c.name):
+            by_root.setdefault(root_column(c.name), []).append(c)
+        else:
+            plain.append(c)
+    return plain, by_root
+
+
+def validate_task(task: TaskConfig, schema: T.StructType) -> None:
+    """configure() checks (TimestampFormatFilterPlugin.java:92-121)."""
+    names = {f.name for f in schema.fields}
+    plain, by_root = _split_configs(task)
+    for c in plain:
+        if c.name not in names:
+            raise ConfigError(f"column '{c.name}' is not included in the input schema")
+        if c.type == "boolean":
+            raise ConfigError("casting to boolean is not available")
+        if c.type == "json":
+            raise ConfigError("casting to json is not available")
+        if c.type not in _TARGET_TO_SPARK:
+            raise ConfigError(f"unknown target type '{c.type}' for column '{c.name}'")
+    for root, cfgs in by_root.items():
+        if root not in names:
+            raise ConfigError(f"column '{root}' (JSONPath root) is not included in the input schema")
+        for c in cfgs:
+            if c.type == "timestamp":
+                raise ConfigError(
+                    "casting a JSONPath target to timestamp is not available "
+                    "(JSON holds only string/long/double)"
+                )
+            if c.type in ("boolean", "json"):
+                raise ConfigError(f"casting to {c.type} is not available")
+
+
+def build_output_schema(task: TaskConfig, schema: T.StructType) -> T.StructType:
+    """Retype-in-place schema evolution (buildOuputSchema, :124-140).
+
+    Boolean source columns keep their type even when configured
+    (ColumnVisitorImpl.java:102-110 ignores the cast for boolean sources).
+    JSON (string) columns addressed via JSONPath keep StringType.
+    """
+    plain, _ = _split_configs(task)
+    cfg_by_name = {c.name: c for c in plain}
+    fields = []
+    for f in schema.fields:
+        c = cfg_by_name.get(f.name)
+        if c is not None and not isinstance(f.dataType, T.BooleanType):
+            fields.append(T.StructField(f.name, _TARGET_TO_SPARK[c.type], True))
+        else:
+            fields.append(T.StructField(f.name, f.dataType, f.nullable))
+    return T.StructType(fields)
+
+
+def _compile_plans(
+    task: TaskConfig, schema: T.StructType
+) -> tuple[dict[str, CastPlan], dict[str, JsonRewritePlan]]:
+    """Build all per-column kernels once at plan time (ColumnCaster ctor)."""
+    plain, by_root = _split_configs(task)
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    casts: dict[str, CastPlan] = {}
+    for c in plain:
+        src = _source_type_of(dtypes[c.name])
+        if src == "boolean":
+            continue  # verbatim pass-through even when configured
+        if src is None:
+            raise ConfigError(
+                f"column '{c.name}' has unsupported input type {dtypes[c.name]}"
+            )
+        casts[c.name] = CastPlan(
+            src,
+            c.type,
+            parser=TimestampParserPlan(task.from_formats(c), task.from_tz(c)),
+            formatter=TimestampFormatterPlan(task.to_fmt(c), task.to_tz(c)),
+            from_unit=task.from_unit_of(c),
+            to_unit=task.to_unit_of(c),
+        )
+    json_plans: dict[str, JsonRewritePlan] = {}
+    for root, cfgs in by_root.items():
+        if not isinstance(dtypes[root], T.StringType):
+            raise ConfigError(
+                f"JSONPath root column '{root}' must be a JSON string column"
+            )
+        targets = []
+        for c in cfgs:
+            targets.append(
+                (
+                    c.name,
+                    CastPlan(
+                        "string",  # re-dispatched per leaf at runtime
+                        c.type,
+                        parser=TimestampParserPlan(task.from_formats(c), task.from_tz(c)),
+                        formatter=TimestampFormatterPlan(task.to_fmt(c), task.to_tz(c)),
+                        from_unit=task.from_unit_of(c),
+                        to_unit=task.to_unit_of(c),
+                    ),
+                )
+            )
+        json_plans[root] = JsonRewritePlan(targets)
+    return casts, json_plans
+
+
+def apply_task(df: DataFrame, task: TaskConfig) -> DataFrame:
+    """The filter: one projection, untargeted columns verbatim."""
+    schema = df.schema
+    validate_task(task, schema)
+    casts, json_plans = _compile_plans(task, schema)
+
+    if task.engine == "arrow":
+        return _apply_arrow(df, task, casts, json_plans)
+
+    cols = []
+    for f in schema.fields:
+        if f.name in casts:
+            cols.append(casts[f.name].expr(F.col(f.name)).alias(f.name))
+        elif f.name in json_plans:
+            cols.append(_json_rewrite_udf(json_plans[f.name])(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _json_rewrite_udf(plan: JsonRewritePlan):
+    @F.pandas_udf(T.StringType())
+    def rewrite(s: pd.Series) -> pd.Series:
+        return plan.rewrite_series(s)
+
+    return rewrite
+
+
+def _apply_arrow(
+    df: DataFrame,
+    task: TaskConfig,
+    casts: dict[str, CastPlan],
+    json_plans: dict[str, JsonRewritePlan],
+) -> DataFrame:
+    out_schema = build_output_schema(task, df.schema)
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf
+            for name, plan in casts.items():
+                out[name] = plan.apply_np(pdf[name])
+            for name, jplan in json_plans.items():
+                out[name] = jplan.rewrite_series(pdf[name])
+            yield out
+
+    return df.mapInPandas(transform, schema=out_schema)
+
+
+def invalid_filter(df_in: DataFrame, task: TaskConfig) -> "DataFrame | None":
+    """Rows that would fail parsing (error policy, ColumnVisitorImpl.java:79-99).
+
+    Returns a DataFrame of offending rows for string→X configured columns
+    (non-null input that parses to NULL), or None when no column can fail.
+    With stop_on_invalid_record=True the caller counts these BEFORE
+    committing a batch (abort-before-commit preserves exactly-once).
+    """
+    schema = df_in.schema
+    casts, _ = _compile_plans(task, schema)
+    conds = []
+    for name, plan in casts.items():
+        if plan.source_type == "string":
+            parsed = plan.parser.parse_expr(F.col(name))
+            conds.append(F.col(name).isNotNull() & parsed.isNull())
+    if not conds:
+        return None
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    return df_in.filter(cond)

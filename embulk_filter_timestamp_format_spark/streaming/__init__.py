@@ -1,0 +1,3 @@
+"""Structured-Streaming CDC apply loop (exactly-once, lineage, skew-safe)."""
+
+from .cdc import CdcPipeline, TARGET_SCHEMA, dedup_latest  # noqa: F401

@@ -1,0 +1,229 @@
+"""CDC apply loop: binlog tail → tsfmt coercion → dedup-latest → MERGE.
+
+The north-star pipeline:
+
+* micro-batch tailing via Structured Streaming ``readStream`` +
+  ``foreachBatch`` (each micro-batch is a bounded DataFrame);
+* the tsfmt schema-coercion layer (the reference's cast semantics) turns
+  raw event-time representations into the target's typed columns;
+* ``stop_on_invalid_record`` aborts BEFORE the merge commit (exactly-once
+  preserved on failure);
+* dedup latest-by-(doc_id, event_seq): two-phase ``max_by`` aggregation —
+  map-side partial aggregation absorbs hot keys; an explicit salt stage
+  (``salt_buckets``) adds a pre-shuffle spread for extreme skew;
+* idempotent batch-id-fenced ``merge_into`` (duplicate delivery of a
+  micro-batch after restart is a no-op → exactly-once table state);
+* per-batch lineage (source offset range, op counts, snapshot version)
+  recorded in the snapshot summary and a metrics log.
+
+At cluster scale the only shuffles per batch are the dedup aggregation
+and the bucketed merge write; both key on doc_id, so AQE coalesces or
+splits them as data dictates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake import IceTable
+from ..plans import TaskConfig, apply_task, invalid_filter
+from ..sources.binlog import BINLOG_SCHEMA
+
+# target table: pre-tokenized training sequences + engine-managed time cols
+TARGET_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("event_time_str", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("ingest_time_unix", T.LongType()),
+        T.StructField("event_seq", T.LongType()),
+    ]
+)
+
+
+def default_coercion_task(engine: str = "catalyst") -> TaskConfig:
+    """The schema-evolution/coercion step every batch runs: the raw
+    event_time_str is normalized to the reference's default output format,
+    the epoch-ms long becomes a typed timestamp, and the fractional epoch
+    double becomes whole-second long — the reference's cast matrix live in
+    a CDC pipeline (tokens pass through untouched)."""
+    return TaskConfig.from_dict(
+        {
+            "default_from_timestamp_format": [
+                "%Y-%m-%d %H:%M:%S.%N %z",
+                "%Y-%m-%d %H:%M:%S %z",
+                "%Y-%m-%d %H:%M:%S",
+            ],
+            "columns": [
+                # string → string (normalize to default to_format, µs + offset)
+                {"name": "event_time_str", "type": "string"},
+                # long epoch-ms → typed timestamp
+                {"name": "event_time_ms", "type": "timestamp", "from_unit": "ms"},
+                # double epoch-sec → long epoch-sec (trunc)
+                {"name": "event_time_sec", "type": "long", "from_unit": "sec", "to_unit": "sec"},
+            ],
+            "engine": engine,
+        }
+    )
+
+
+def dedup_latest(
+    df: DataFrame,
+    key: str = "doc_id",
+    seq: str = "event_seq",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Keep the row with the max `seq` per `key`.
+
+    Two-phase max_by aggregation (skew-safe: map-side partial aggregation
+    combines hot keys before the shuffle). With ``salt_buckets`` > 0 an
+    explicit intermediate (key, salt) aggregation adds a pre-shuffle
+    spread for pathological skew. Semantics are those of
+    row_number() over (partition by key order by seq desc) = 1 — the
+    window form is the spec in tests; this form avoids the sort and the
+    single-partition-per-key pressure.
+    """
+    cols = [c for c in df.columns if c != key]
+    payload = F.struct(*[F.col(c) for c in cols])
+    if salt_buckets and salt_buckets > 1:
+        salted = df.withColumn("__salt", F.pmod(F.col(seq), F.lit(salt_buckets)))
+        partial = salted.groupBy(key, "__salt").agg(
+            F.max_by(payload, F.col(seq)).alias("__p"), F.max(seq).alias("__s")
+        )
+        agg = partial.groupBy(key).agg(F.max_by(F.col("__p"), F.col("__s")).alias("__p"))
+    else:
+        agg = df.groupBy(key).agg(F.max_by(payload, F.col(seq)).alias("__p"))
+    return agg.select(key, *[F.col(f"__p.{c}").alias(c) for c in cols])
+
+
+class InvalidRecordError(RuntimeError):
+    pass
+
+
+class CdcPipeline:
+    """Binds a source dir, an IceTable target, and the coercion task."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: IceTable,
+        source_name: str = "binlog",
+        engine: str = "catalyst",
+        salt_buckets: int = 0,
+        stop_on_invalid_record: bool = False,
+        metrics_path: "str | None" = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.source_name = source_name
+        self.task = default_coercion_task(engine)
+        self.task.stop_on_invalid_record = stop_on_invalid_record
+        self.salt_buckets = salt_buckets
+        self.metrics_path = metrics_path
+        self.metrics: list[dict] = []
+
+    # ------------------------------------------------------------------
+
+    def coerce(self, batch_df: DataFrame) -> DataFrame:
+        """tsfmt layer → target schema. tokens untouched (invariant)."""
+        coerced = apply_task(batch_df, self.task)
+        return coerced.select(
+            F.col("op"),
+            F.col("doc_id"),
+            F.col("event_seq"),
+            F.col("offset"),
+            F.col("tokens"),
+            F.col("n_tok"),
+            F.col("source"),
+            F.col("event_time_str"),
+            F.col("event_time_ms").alias("event_time"),
+            F.col("event_time_sec").alias("ingest_time_unix"),
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> "int | None":
+        """foreachBatch body. Returns committed snapshot version."""
+        if self.table.last_batch_id(self.source_name) is not None and batch_id <= self.table.last_batch_id(self.source_name):
+            return None  # fenced duplicate delivery
+
+        if self.task.stop_on_invalid_record:
+            bad = invalid_filter(batch_df, self.task)
+            if bad is not None:
+                n_bad = bad.count()
+                if n_bad:
+                    raise InvalidRecordError(
+                        f"batch {batch_id}: {n_bad} unparseable record(s); aborting before commit"
+                    )
+
+        coerced = self.coerce(batch_df)
+        stats_row = coerced.agg(
+            F.count("*").alias("events"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
+        ).collect()[0]
+        if stats_row["events"] == 0:
+            return None
+
+        latest = dedup_latest(coerced, salt_buckets=self.salt_buckets)
+        updates = latest.select(
+            "op", "doc_id", "tokens", "n_tok", "source",
+            "event_time_str", "event_time", "ingest_time_unix", "event_seq",
+        )
+        lineage = {
+            "batch_id": batch_id,
+            "source": self.source_name,
+            "events": stats_row["events"],
+            "min_offset": stats_row["min_offset"],
+            "max_offset": stats_row["max_offset"],
+            "deletes": stats_row["deletes"],
+        }
+        version = self.table.merge_into(
+            updates, batch_id=batch_id, source=self.source_name, lineage=lineage
+        )
+        lineage["snapshot_version"] = version
+        lineage["wall_time"] = time.time()
+        self.metrics.append(lineage)
+        if self.metrics_path:
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps(lineage) + "\n")
+        return version
+
+    # ------------------------------------------------------------------
+
+    def replay_stream(
+        self,
+        binlog_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: "int | None" = None,
+    ) -> None:
+        """Tail the binlog dir with Structured Streaming; exactly-once via
+        checkpointed offsets + batch-id-fenced commits."""
+        reader = (
+            self.spark.readStream.schema(BINLOG_SCHEMA)
+            .option("latestFirst", "false")
+            .option("maxFilesPerTrigger", max_files_per_trigger or 4)
+        )
+        stream = reader.parquet(os.path.join(binlog_dir, "chunk_*"))
+        q = (
+            stream.writeStream.foreachBatch(lambda df, bid: self.apply_batch(df, bid))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def replay_chunks(self, chunk_paths: list[str], start_batch: int = 0) -> None:
+        """Bounded replay (one batch per chunk) — the deterministic test
+        harness; byte-equal to the streaming path by construction."""
+        for i, path in enumerate(chunk_paths):
+            df = self.spark.read.schema(BINLOG_SCHEMA).parquet(path)
+            self.apply_batch(df, start_batch + i)
