@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set against the full table, dot products via zip_with/aggregate
+  in float64 (left-to-right accumulation, bit-stable vs the SQL oracle).
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures from
+  seeded deterministic pseudo-vectors, candidates from bucket equality,
+  exact re-rank of candidates only; recall measured against brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+
+    The query side is a handful of rows → broadcast join, no shuffle on
+    the big side; ranking is a per-query window over k·|queries| rows.
+    Output: (query_id, neighbor_id, rank, cos_sim rounded to 6).
+    """
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    pairs = df.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    sim = cosine(F.col("qv"), F.col(vec_col))
+    scored = pairs.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 6).alias("cos_sim")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _pseudo_plane(dim: int, plane: int, seed: int):
+    """Deterministic pseudo-random hyperplane: component j of plane p =
+    ±1 from the parity of a hash — array<double> literal-free, computed
+    once per plan (constant-folded by Catalyst)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed * 1000 + plane)
+    vec = rng.standard_normal(dim)
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 11,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN: random-hyperplane LSH signature → bucket join → exact re-rank
+    of candidates. `multiprobe` also probes the `num_planes` buckets at
+    Hamming distance 1 from the query's bucket (recall boost at the cost
+    of (P+1)× candidate lookups)."""
+    planes = [_pseudo_plane(dim, p, seed) for p in range(num_planes)]
+    sig = None
+    for p, plane in enumerate(planes):
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    base = df.select(F.col(id_col), F.col(vec_col), sig.cast("long").alias("bucket"))
+
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(2**p)).cast("long") for p in range(num_planes)],
+        )
+    else:
+        probes = F.array(F.col("qbucket"))
+    qx = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+
+    cand = base.join(F.broadcast(qx), "bucket").filter(F.col(id_col) != F.col("query_id"))
+    sim = cosine(F.col("qv"), F.col(vec_col))
+    scored = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 6).alias("cos_sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

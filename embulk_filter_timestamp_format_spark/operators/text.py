@@ -1,0 +1,112 @@
+"""Text-analysis operators over the documents table.
+
+All pure Catalyst expressions (no UDFs): language-ID by marker-word
+counts, quality scoring from length/punct/stopword ratios, token counting
+(whitespace + BPE-ish regex), document fingerprinting (normalized md5 +
+64-bit prefix). Each has an exact DuckDB-SQL twin (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language (tiny public wordlists; the heuristic, not
+# a model — deterministic and SQL-expressible)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "in", "to", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "de", "et", "un", "les"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization; empty-safe."""
+    return F.filter(F.split(F.trim(col), "\\s+"), lambda t: t != "")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punctuation."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
+def stopword_ratio(col: Column) -> Column:
+    ws = words(F.lower(col))
+    hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    return F.when(
+        n > 0,
+        (n - F.length(F.regexp_replace(col, "[^A-Za-z0-9\\s]", ""))) / n,
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    reasonable stopword density (standard pretrain-filter features)."""
+    n_words = word_count(col)
+    len_score = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
+    sw = stopword_ratio(col)
+    sw_score = F.when(sw > 0.6, F.lit(0.5)).otherwise(F.lit(1.0))
+    return F.round(len_score * 0.5 + punct_pen * 0.3 + sw_score * 0.2, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of per-language marker hits; 'und' when no marker occurs.
+    Ties break by language code order (deterministic)."""
+    low = words(F.lower(col))
+    scores = [
+        (lang, F.size(F.filter(low, lambda w, ms=markers: w.isin(*ms))))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = None
+    best_score = None
+    for lang, score in scores:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def normalized(col: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(col)), "\\s+", " ")
+
+
+def fingerprint_md5(col: Column) -> Column:
+    return F.md5(normalized(col))
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit fingerprint: first 16 hex digits of the normalized md5
+    (SQL-portable; DuckDB lacks xxhash64)."""
+    return F.conv(F.substring(fingerprint_md5(col), 1, 15), 16, 10).cast("long")
+
+
+def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        word_count(c).alias("n_words"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint_md5(c).alias("fp_md5"),
+    )
