@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship CDC round over sf0.001 events.
+`queries()` — one entry per implemented operator (SURVEY.md §2 + the
+training-data pipeline ops); each callable takes (spark, sf_dir).
+`oracle_sql()` — DuckDB twins for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -12,27 +11,400 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from embulk_filter_timestamp_format_spark.functions.format import TimestampFormatterPlan
+from embulk_filter_timestamp_format_spark.functions.parse import TimestampParserPlan
+from embulk_filter_timestamp_format_spark.functions import units as U
+from embulk_filter_timestamp_format_spark.functions.units import TimestampUnit
+from embulk_filter_timestamp_format_spark.operators import dedup as D
+from embulk_filter_timestamp_format_spark.operators import similarity as S
+from embulk_filter_timestamp_format_spark.operators import text as TX
+from embulk_filter_timestamp_format_spark.operators.text import LANG_MARKERS, STOPWORDS, BPE_TOKEN_RE
+from embulk_filter_timestamp_format_spark.streaming.cdc import dedup_latest
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _ts_nanos(col):
+    return U.col_timestamp_to_nanos(col)
+
+
+# ---------------------------------------------------------------------------
+# tsfmt kernels (reference ops 8-17) over the events table
+# ---------------------------------------------------------------------------
+
+
+def q_tsfmt_format_string(spark, sf_dir):
+    """timestamp → string, reference default to_format %Y-%m-%d %H:%M:%S.%6N %z."""
+    fmt = TimestampFormatterPlan("%Y-%m-%d %H:%M:%S.%6N %z", "UTC")
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.col("event_id"), fmt.format_expr(_ts_nanos(F.col("ts"))).alias("ts_str")
+    )
+
+
+def q_tsfmt_parse_roundtrip(spark, sf_dir):
+    """string → timestamp via the ruby-dialect parser; round-trips the µs instant."""
+    fmt = TimestampFormatterPlan("%Y-%m-%d %H:%M:%S.%N", "UTC")
+    parser = TimestampParserPlan(["%Y-%m-%d %H:%M:%S.%N"], "UTC")
+    ev = _events(spark, sf_dir)
+    s = fmt.format_expr(_ts_nanos(F.col("ts")))
+    parsed = U.col_nanos_to_timestamp(parser.parse_expr(s))
+    return ev.select(F.col("event_id"), parsed.alias("parsed_ts"))
+
+
+def q_tsfmt_epoch_units(spark, sf_dir):
+    """instant → epoch long/double at several units (ops 11-12)."""
+    ev = _events(spark, sf_dir)
+    nanos = _ts_nanos(F.col("ts"))
+    return ev.select(
+        F.col("event_id"),
+        U.col_nanos_to_long(nanos, TimestampUnit.SECOND).alias("epoch_sec"),
+        U.col_nanos_to_long(nanos, TimestampUnit.MILLISECOND).alias("epoch_ms"),
+        U.col_nanos_to_long(nanos, TimestampUnit.MICROSECOND).alias("epoch_us"),
+        U.col_nanos_to_double(nanos, TimestampUnit.SECOND).alias("epoch_sec_d"),
+    )
+
+
+def q_tsfmt_unit_change(spark, sf_dir):
+    """long epoch unit rescale with trunc-toward-zero downscale (op 12)."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        F.col("event_id"),
+        U.col_change_unit_long(us, TimestampUnit.MICROSECOND, TimestampUnit.MILLISECOND).alias("us_to_ms"),
+        U.col_change_unit_long(us, TimestampUnit.MICROSECOND, TimestampUnit.SECOND).alias("us_to_sec"),
+        U.col_change_unit_long(
+            U.col_change_unit_long(us, TimestampUnit.MICROSECOND, TimestampUnit.SECOND),
+            TimestampUnit.SECOND,
+            TimestampUnit.NANOSECOND,
+        ).alias("sec_to_ns"),
+    )
+
+
+def q_tsfmt_timezone_render(spark, sf_dir):
+    """to_timezone changes rendering only (op 15): format @ Asia/Tokyo."""
+    fmt = TimestampFormatterPlan("%Y-%m-%d %H:%M:%S", "Asia/Tokyo")
+    ev = _events(spark, sf_dir)
+    return ev.select(F.col("event_id"), fmt.format_expr(_ts_nanos(F.col("ts"))).alias("tokyo_str"))
+
+
+def q_tsfmt_multiformat_cascade(spark, sf_dir):
+    """multi-format fallback parse (op 13): mixed date-only / full strings."""
+    ev = _events(spark, sf_dir)
+    raw = F.when(
+        F.col("event_id") % 2 == 0, F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
+    ).otherwise(F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    parser = TimestampParserPlan(["%Y-%m-%d %H:%M:%S", "%Y-%m-%d"], "UTC")
+    return ev.select(
+        F.col("event_id"),
+        U.col_nanos_to_long(parser.parse_expr(raw), TimestampUnit.MILLISECOND).alias("parsed_ms"),
+    )
+
+
+def q_tsfmt_json_epoch(spark, sf_dir):
+    """JSON-addressed scalar cast (ops 19-21): $.k epoch-sec → formatted string."""
+    ev = _events(spark, sf_dir)
+    fmt = TimestampFormatterPlan("%Y-%m-%d %H:%M:%S", "UTC")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    nanos = U.col_long_to_nanos(k, TimestampUnit.SECOND)
+    return ev.select(F.col("event_id"), fmt.format_expr(nanos).alias("k_ts"))
+
+
+# ---------------------------------------------------------------------------
+# CDC operators (north-rule additions: dedup window, merge join, lineage)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_dedup_latest(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "value")
+    latest = dedup_latest(ev, key="user_id", seq="event_id")
+    return latest.select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+
+
+def q_cdc_merge_upsert(spark, sf_dir):
+    """MERGE semantics as a bounded query: target = latest state from the
+    first half of the stream, updates = latest from the second half
+    ('error' events are deletes); output = merged state."""
+    ev = _events(spark, sf_dir)
+    split = F.col("event_id") < 5000
+    base = dedup_latest(
+        ev.filter(split).select("user_id", "event_id", "event_type", "value"),
+        key="user_id", seq="event_id",
+    )
+    upd = dedup_latest(
+        ev.filter(~split).select("user_id", "event_id", "event_type", "value"),
+        key="user_id", seq="event_id",
+    ).withColumn("op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")))
+    j = base.alias("t").join(upd.alias("u"), "user_id", "full_outer")
+    has_u = F.col("u.op").isNotNull()
+    merged = j.filter(~(has_u & (F.col("u.op") == "D"))).select(
+        F.col("user_id"),
+        F.when(has_u, F.col("u.event_id")).otherwise(F.col("t.event_id")).alias("event_id"),
+        F.when(has_u, F.col("u.event_type")).otherwise(F.col("t.event_type")).alias("event_type"),
+        F.round(F.when(has_u, F.col("u.value")).otherwise(F.col("t.value")), 6).alias("value"),
+    )
+    return merged
+
+
+def q_cdc_lineage_stats(spark, sf_dir):
+    """Per-micro-batch lineage: offset range + op counts (batch = event_id div 1000)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy((F.col("event_id") / 1000).cast("long").alias("batch_id"))
+        .agg(
+            F.count("*").alias("events"),
+            F.min("event_id").alias("min_offset"),
+            F.max("event_id").alias("max_offset"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+            F.countDistinct("user_id").alias("n_keys"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_text_analysis(spark, sf_dir):
+    return TX.analyze(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_embedding_topk(spark, sf_dir):
+    return S.cosine_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return S.lsh_ann_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from embulk_filter_timestamp_format_spark.operators import multimodal as MM
+
+    media = MM.synth_media(_docs(spark, sf_dir))
+    return MM.extract_features(media).drop("features")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one CDC round over sf0.001 events — tsfmt coercion
+    (timestamp→string/epochs) + dedup-latest-per-key (the per-batch body
+    of the merge pipeline)."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _events(spark, sf_dir)
+    fmt = TimestampFormatterPlan("%Y-%m-%d %H:%M:%S.%6N %z", "UTC")
+    nanos = _ts_nanos(F.col("ts"))
+    coerced = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        fmt.format_expr(nanos).alias("event_time_str"),
+        U.col_nanos_to_long(nanos, TimestampUnit.MILLISECOND).alias("event_time_ms"),
+    )
+    return dedup_latest(coerced, key="user_id", seq="event_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tsfmt_format_string": q_tsfmt_format_string,
+        "tsfmt_parse_roundtrip": q_tsfmt_parse_roundtrip,
+        "tsfmt_epoch_units": q_tsfmt_epoch_units,
+        "tsfmt_unit_change": q_tsfmt_unit_change,
+        "tsfmt_timezone_render": q_tsfmt_timezone_render,
+        "tsfmt_multiformat_cascade": q_tsfmt_multiformat_cascade,
+        "tsfmt_json_epoch": q_tsfmt_json_epoch,
+        "cdc_dedup_latest": q_cdc_dedup_latest,
+        "cdc_merge_upsert": q_cdc_merge_upsert,
+        "cdc_lineage_stats": q_cdc_lineage_stats,
+        "dedup_exact": q_dedup_exact,
+        "text_analysis": q_text_analysis,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_NWORDS = f"len({_WORDS})"
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_STOP_LIST = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1), "
+    f"i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+
+
+def _lang_case() -> str:
+    """Argmax over marker-word hit counts, ties by language code order."""
+    exprs = {
+        lang: f"len(list_filter(lw, x -> list_contains([{','.join(repr(w) for w in ms)}], x)))"
+        for lang, ms in sorted(LANG_MARKERS.items())
+    }
+    langs = sorted(exprs)
+    best = f"greatest({','.join(exprs.values())})"
+    whens = " ".join(f"WHEN {exprs[lang]} = __best THEN '{lang}'" for lang in langs)
+    return exprs, best, whens
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    exprs, best, whens = _lang_case()
+    return {
+        "tsfmt_format_string": """
+            SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || ' +0000' AS ts_str
+            FROM events""",
+        "tsfmt_parse_roundtrip": """
+            SELECT event_id, ts AS parsed_ts FROM events""",
+        "tsfmt_epoch_units": """
+            SELECT event_id,
+                   epoch_us(ts) // 1000000 AS epoch_sec,
+                   epoch_us(ts) // 1000    AS epoch_ms,
+                   epoch_us(ts)            AS epoch_us,
+                   (epoch_us(ts) // 1000000) + (epoch_us(ts) % 1000000) / 1000000.0 AS epoch_sec_d
+            FROM events""",
+        "tsfmt_unit_change": """
+            SELECT event_id,
+                   epoch_us(ts) // 1000 AS us_to_ms,
+                   epoch_us(ts) // 1000000 AS us_to_sec,
+                   (epoch_us(ts) // 1000000) * 1000000000 AS sec_to_ns
+            FROM events""",
+        "tsfmt_timezone_render": """
+            SELECT event_id, strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d %H:%M:%S') AS tokyo_str
+            FROM events""",
+        "tsfmt_multiformat_cascade": """
+            SELECT event_id,
+                   CASE WHEN event_id % 2 = 0
+                        THEN epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'))
+                        ELSE epoch_ms(strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d'))
+                   END AS parsed_ms
+            FROM events""",
+        "tsfmt_json_epoch": """
+            SELECT event_id,
+                   strftime(make_timestamp(CAST(props->>'$.k' AS BIGINT) * 1000000),
+                            '%Y-%m-%d %H:%M:%S') AS k_ts
+            FROM events""",
+        "cdc_dedup_latest": """
+            SELECT user_id, event_id, event_type, round(value, 6) AS value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events) WHERE rn = 1""",
+        "cdc_merge_upsert": """
+            WITH base AS (
+              SELECT user_id, event_id, event_type, value
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                    FROM events WHERE event_id < 5000) WHERE rn = 1),
+            upd AS (
+              SELECT user_id, event_id, event_type, value,
+                     CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                    FROM events WHERE event_id >= 5000) WHERE rn = 1)
+            SELECT coalesce(u.user_id, t.user_id) AS user_id,
+                   CASE WHEN u.op IS NOT NULL THEN u.event_id ELSE t.event_id END AS event_id,
+                   CASE WHEN u.op IS NOT NULL THEN u.event_type ELSE t.event_type END AS event_type,
+                   round(CASE WHEN u.op IS NOT NULL THEN u.value ELSE t.value END, 6) AS value
+            FROM base t FULL OUTER JOIN upd u USING (user_id)
+            WHERE NOT (u.op IS NOT NULL AND u.op = 'D')""",
+        "cdc_lineage_stats": """
+            SELECT CAST(floor(event_id / 1000) AS BIGINT) AS batch_id,
+                   count(*) AS events, min(event_id) AS min_offset,
+                   max(event_id) AS max_offset,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+                   count(DISTINCT user_id) AS n_keys
+            FROM events GROUP BY 1""",
+        "dedup_exact": f"""
+            WITH fp AS (SELECT doc_id,
+                        md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+                        FROM documents),
+            g AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+                  FROM fp GROUP BY fp)
+            SELECT f.doc_id, g.canonical_id, g.group_size,
+                   f.doc_id <> g.canonical_id AS is_dup
+            FROM fp f JOIN g USING (fp)""",
+        "text_analysis": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     {_WORDS} AS w,
+                     list_transform({_WORDS}, x -> lower(x)) AS lw
+              FROM documents)
+            SELECT doc_id,
+              len(w) AS n_words,
+              len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+              round(CASE WHEN len(lw) > 0
+                    THEN len(list_filter(lw, x -> list_contains({_STOP_LIST}, x))) / len(lw)
+                    ELSE 0.0 END, 6) AS stopword_ratio,
+              round(CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / length(text)
+                    ELSE 0.0 END, 6) AS punct_ratio,
+              round(least(len(w) / 50.0, 1.0) * 0.5
+                  + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                      THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / length(text)
+                      ELSE 0.0 END) * 5.0) * 0.3
+                  + (CASE WHEN (CASE WHEN len(lw) > 0
+                       THEN len(list_filter(lw, x -> list_contains({_STOP_LIST}, x))) / len(lw)
+                       ELSE 0.0 END) > 0.6 THEN 0.5 ELSE 1.0 END) * 0.2, 6) AS quality,
+              CASE WHEN {best} > 0 THEN (CASE {whens} END) ELSE 'und' END AS lang_pred,
+              md5({_NORM}) AS fp_md5
+            FROM (SELECT *, {best} AS __best FROM t) tt""",
+        "ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id, lang, {_SHINGLES} AS s
+              FROM (SELECT doc_id, lang,
+                           list_transform({_WORDS}, x -> lower(x)) AS w
+                    FROM documents)
+              WHERE len(w) >= 3)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                    i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                           / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+                            * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6)
+                     AS cos_sim
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank, cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""",
+        # minhash_lsh / simhash_pairs / ann_lsh_topk / multimodal_features:
+        # candidate-generation & binary ops — verified in pytest by
+        # containment vs exact baselines (rows-only driver check).
+    }

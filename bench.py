@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs (a) every __spark_entry__ query at $SPARK_GRAFT_SF_DIR and (b) the
+headline CDC replay — synthetic binlog → tsfmt coercion → dedup-latest →
+batch-fenced MERGE into an icetable — and prints ONE JSON line:
+
+    {"metric": "cdc_replay_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "cdc": {"events": N, "events_per_sec": ...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_CDC_EVENTS (default 500000).
+Queries are forced with the noop sink (full computation, no collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def build_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("efts-bench")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    out = {}
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        try:
+            force(fn(spark, sf_dir))
+            out[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # record, don't die
+            out[name] = -1.0
+            print(f"query {name} failed: {ex}", file=sys.stderr)
+    return out
+
+
+def bench_cdc(spark, num_events: int, num_chunks: int = 8) -> dict:
+    from embulk_filter_timestamp_format_spark.lake import IceTable
+    from embulk_filter_timestamp_format_spark.sources.binlog import generate_binlog
+    from embulk_filter_timestamp_format_spark.streaming.cdc import (
+        TARGET_SCHEMA,
+        CdcPipeline,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="efts_bench_")
+    try:
+        binlog_dir = os.path.join(workdir, "binlog")
+        chunks = generate_binlog(
+            spark, binlog_dir, num_events, num_docs=max(num_events // 10, 100),
+            num_chunks=num_chunks,
+        )
+        table = IceTable.create(
+            spark, os.path.join(workdir, "table"), TARGET_SCHEMA,
+            key="doc_id", num_buckets=32,
+        )
+        pipe = CdcPipeline(spark, table)
+        t0 = time.time()
+        pipe.replay_chunks(chunks)
+        dt = time.time() - t0
+        rows = table.read().count()
+        return {
+            "events": num_events,
+            "replay_sec": round(dt, 3),
+            "events_per_sec": round(num_events / dt, 1),
+            "final_rows": rows,
+            "snapshots": table.current_version(),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    num_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "500000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        qtimes = bench_queries(spark, sf_dir)
+        cdc = bench_cdc(spark, num_events)
+    finally:
+        spark.stop()
+
+    result = {
+        "metric": "cdc_replay_sec",
+        "value": cdc["replay_sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf),
+        "cdc": cdc,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule.
+
+The rule's two-cluster-size criterion (N vs 4N executors, efficiency
+≥ 0.8) cannot use a real cluster in this sandbox, so we run the SAME CDC
+replay job on the SAME input at local[8] and local[32] and report
+throughput at both plus efficiency = tput(32) / (4 × tput(8)).
+
+Each run is a fresh JVM (spark-submit-style subprocess) so the two
+parallelism levels don't share executor state. Results are written to
+BENCH/BASELINE.md and printed as JSON.
+
+Usage: python bench_scaling.py [num_events]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+RUNNER = r"""
+import json, os, sys, time
+from pyspark.sql import SparkSession
+
+cpus, binlog_dir, table_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = (
+    SparkSession.builder.master(f"local[{cpus}]")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "24g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from embulk_filter_timestamp_format_spark.lake import IceTable
+from embulk_filter_timestamp_format_spark.streaming.cdc import TARGET_SCHEMA, CdcPipeline
+
+import glob
+chunks = sorted(glob.glob(os.path.join(binlog_dir, "chunk_*")))
+table = IceTable.create(spark, table_dir, TARGET_SCHEMA, key="doc_id", num_buckets=64)
+pipe = CdcPipeline(spark, table)
+t0 = time.time()
+pipe.replay_chunks(chunks)
+dt = time.time() - t0
+rows = table.read().count()
+print(json.dumps({"cpus": int(cpus), "replay_sec": round(dt, 3), "rows": rows}))
+spark.stop()
+"""
+
+
+def main():
+    num_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    repo = os.path.dirname(os.path.abspath(__file__))
+    work = tempfile.mkdtemp(prefix="efts_scaling_")
+    runner_path = os.path.join(work, "runner.py")
+    with open(runner_path, "w") as f:
+        f.write(RUNNER)
+
+    try:
+        # generate the shared input once (32 cores; generation is not timed)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        sys.path.insert(0, repo)
+        from embulk_filter_timestamp_format_spark.sources.binlog import generate_binlog
+
+        binlog_dir = os.path.join(work, "binlog")
+        generate_binlog(
+            spark, binlog_dir, num_events, num_docs=max(num_events // 10, 1000),
+            num_chunks=8,
+        )
+        spark.stop()
+
+        results = {}
+        for cpus in ("8", "32"):
+            table_dir = os.path.join(work, f"table_{cpus}")
+            env = dict(os.environ, PYTHONPATH=repo)
+            out = subprocess.run(
+                [sys.executable, runner_path, cpus, binlog_dir, table_dir],
+                capture_output=True, text=True, env=env, cwd=repo, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+
+        t8 = num_events / results["8"]["replay_sec"]
+        t32 = num_events / results["32"]["replay_sec"]
+        eff = t32 / (4 * t8)
+        summary = {
+            "num_events": num_events,
+            "events_per_sec_8": round(t8, 1),
+            "events_per_sec_32": round(t32, 1),
+            "scaling_efficiency": round(eff, 3),
+            "rows_8": results["8"]["rows"],
+            "rows_32": results["32"]["rows"],
+            "rows_equal": results["8"]["rows"] == results["32"]["rows"],
+        }
+        print(json.dumps(summary))
+
+        os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+        with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(
+                "# BENCH/BASELINE — CDC replay scaling evidence\n\n"
+                "Same job (synthetic binlog replay → tsfmt coercion → dedup-latest →\n"
+                "batch-fenced MERGE into the icetable), same input, two parallelism\n"
+                "levels (the sandbox stand-in for N vs 4N executors per the north rule).\n\n"
+                f"| quantity | value |\n| --- | --- |\n"
+                f"| events | {num_events:,} |\n"
+                f"| throughput @ local[8] | {t8:,.0f} events/s |\n"
+                f"| throughput @ local[32] | {t32:,.0f} events/s |\n"
+                f"| scaling efficiency t32/(4·t8) | **{eff:.3f}** (target ≥ 0.8) |\n"
+                f"| final rows equal across runs | {summary['rows_equal']} |\n\n"
+                f"Raw: `{json.dumps(results)}`\n"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -257,6 +257,8 @@ def col_nanos_to_timestamp(nanos: Column) -> Column:
 
 
 def col_timestamp_to_nanos(ts: Column) -> Column:
-    """Spark TimestampType → nanos rep (µs-resolution; pair with a
-    companion nanos column when full nano fidelity is asserted)."""
-    return (F.unix_micros(ts) * F.lit(1000)).cast("long")
+    """Spark TimestampType/TimestampNTZType → nanos rep (µs-resolution;
+    pair with a companion nanos column when full nano fidelity is
+    asserted). NTZ wall clock is interpreted in the session timezone
+    (engine sessions pin UTC), matching the oracle's naive TIMESTAMP."""
+    return (F.unix_micros(ts.cast("timestamp")) * F.lit(1000)).cast("long")

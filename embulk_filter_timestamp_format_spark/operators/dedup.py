@@ -45,18 +45,24 @@ def shingles(col, n: int = 3):
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Group identical normalized texts; keep the minimum id as canonical.
+    """Exact dedup mapping: group identical normalized texts (NULL-safe),
+    canonical = min id per group.
 
-    Returns (doc_id, canonical_id, group_size) for every duplicated doc.
-    """
-    fp = df.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+    Returns (doc_id, canonical_id, group_size, is_dup) for EVERY doc —
+    the keep/remove decision a 100 TB dedup pass materializes. One
+    hash-groupBy shuffle + one fp-equi join (broadcastable group side when
+    duplicates are rare)."""
+    fp = df.select(
+        F.col(id_col), fingerprint_md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp")
+    )
     groups = fp.groupBy("fp").agg(
         F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
     )
-    return (
-        fp.join(groups, "fp")
-        .filter(F.col("group_size") > 1)
-        .select(id_col, "canonical_id", "group_size")
+    return fp.join(groups, "fp").select(
+        id_col,
+        "canonical_id",
+        "group_size",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
     )
 
 
@@ -101,13 +107,11 @@ def ngram_jaccard_pairs(
 def minhash_signature(sh_col, num_hashes: int = 32, seed: int = 7):
     """k min-hashes over the shingle array, one xxhash64 pass per perm —
     array<long> signature, pure Catalyst."""
+    def perm(i: int):
+        return lambda s: F.xxhash64(s, F.lit(seed + i))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(sh_col, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh_col, perm(i))) for i in range(num_hashes)]
     )
 
 
@@ -177,13 +181,12 @@ def simhash64(col):
     ws = F.array_distinct(words(F.lower(col)))
     hashes = F.transform(ws, lambda w: F.xxhash64(w))
     n = F.size(ws)
+    def bit_counter(b: int):
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
+
     bits = []
     for b in range(64):
-        ones = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, b=b: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
-        )
+        ones = F.aggregate(hashes, F.lit(0).cast("long"), bit_counter(b))
         bits.append(F.when(ones * 2 >= n, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for x in bits[1:]:

@@ -68,8 +68,11 @@ def lang_id(col: Column) -> Column:
     """Argmax of per-language marker hits; 'und' when no marker occurs.
     Ties break by language code order (deterministic)."""
     low = words(F.lower(col))
+    def marker_filter(ms: list):
+        return lambda w: w.isin(*ms)
+
     scores = [
-        (lang, F.size(F.filter(low, lambda w, ms=markers: w.isin(*ms))))
+        (lang, F.size(F.filter(low, marker_filter(markers))))
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
     best = None
