@@ -380,15 +380,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, {best} AS __best FROM t) tt""",
         "ngram_jaccard": f"""
             WITH sh AS (
-              SELECT doc_id, lang, {_SHINGLES} AS s
-              FROM (SELECT doc_id, lang,
-                           list_transform({_WORDS}, x -> lower(x)) AS w
-                    FROM documents)
-              WHERE len(w) >= 3)
+              SELECT doc_id, lang, s, len(s) AS sz, length(bin(len(s))) AS band
+              FROM (SELECT doc_id, lang, {_SHINGLES} AS s
+                    FROM (SELECT doc_id, lang,
+                                 list_transform({_WORDS}, x -> lower(x)) AS w
+                          FROM documents))
+              WHERE len(s) > 0)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.s, b.s))::DOUBLE
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(a.band - b.band) <= 1
+             AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 4
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
         "embedding_topk": """

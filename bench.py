@@ -61,7 +61,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_cdc(spark, num_events: int, num_chunks: int = 8) -> dict:
+def bench_cdc(spark, num_events: int, num_chunks: int = 4) -> dict:
     from embulk_filter_timestamp_format_spark.lake import IceTable
     from embulk_filter_timestamp_format_spark.sources.binlog import generate_binlog
     from embulk_filter_timestamp_format_spark.streaming.cdc import (
@@ -96,16 +96,42 @@ def bench_cdc(spark, num_events: int, num_chunks: int = 8) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def bench_parse_format(spark, rows: int = 2_000_000) -> dict:
+    """The reference's own benchmark shape (bench/gen_dummy.rb: N timestamp
+    strings parsed and reformatted) — our Catalyst path, end to end."""
+    from pyspark.sql import functions as F
+
+    from embulk_filter_timestamp_format_spark.functions.format import TimestampFormatterPlan
+    from embulk_filter_timestamp_format_spark.functions.parse import TimestampParserPlan
+
+    df = spark.range(rows).select(
+        F.concat(
+            F.date_format(F.timestamp_millis(F.lit(1500000000000) + F.col("id")), "yyyy-MM-dd HH:mm:ss."),
+            F.lpad(F.pmod(F.col("id"), F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("000000"),
+        ).alias("s")
+    )
+    parser = TimestampParserPlan(["%Y-%m-%d %H:%M:%S.%N"], "UTC")
+    fmt = TimestampFormatterPlan("%Y-%m-%d", "UTC")
+    out = df.select(fmt.format_expr(parser.parse_expr(F.col("s"))).alias("d"))
+    force(out)  # warm (codegen compile)
+    t0 = time.time()
+    force(out)
+    dt = time.time() - t0
+    return {"rows": rows, "sec": round(dt, 3), "rows_per_sec": round(rows / dt, 1)}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    num_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "500000"))
+    num_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "2000000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         qtimes = bench_queries(spark, sf_dir)
+        pf = bench_parse_format(spark)
         cdc = bench_cdc(spark, num_events)
     finally:
         spark.stop()
@@ -117,6 +143,7 @@ def main():
         "queries": qtimes,
         "sf": float(sf),
         "cdc": cdc,
+        "parse_format": pf,
         "cpus": int(cpus),
     }
     print(json.dumps(result))

@@ -60,6 +60,22 @@ class CastPlan:
     # Catalyst
     # ------------------------------------------------------------------
 
+    @property
+    def needs_instant(self) -> bool:
+        """True when the cast routes through epoch-nanos (vs pure unit
+        arithmetic / identity). Instant-routed casts should be staged:
+        compute nanos into an intermediate column, then derive the target
+        from that column — otherwise the (large) parse tree is inlined
+        into every formatter segment and Catalyst optimization time blows
+        up (the staged projection is the plan-time analog of the
+        reference's per-task kernel cache)."""
+        src, dst = self.source_type, self.target_type
+        if src in ("long", "double") and dst in ("long", "double"):
+            return False
+        if src == "timestamp" and dst == "timestamp":
+            return False
+        return True
+
     def expr(self, c: Column) -> Column:
         src, dst = self.source_type, self.target_type
 
@@ -74,8 +90,13 @@ class CastPlan:
             return U.col_change_unit_double(c, self.from_unit, self.to_unit).try_cast("long")
         if src == "timestamp" and dst == "timestamp":
             return c
+        return self.from_nanos_expr(self.to_nanos_expr(c))
 
-        nanos = self._to_nanos_expr(c)
+    def to_nanos_expr(self, c: Column) -> Column:
+        return self._to_nanos_expr(c)
+
+    def from_nanos_expr(self, nanos: Column) -> Column:
+        dst = self.target_type
         if dst == "string":
             return self.formatter.format_expr(nanos)
         if dst == "timestamp":

@@ -559,9 +559,22 @@ class TimestampParserPlan:
     (the analog of the reference's per-task parser cache,
     ColumnCaster.java:37-58)."""
 
-    def __init__(self, formats: list[str], from_timezone: str = "UTC"):
+    def __init__(
+        self,
+        formats: list[str],
+        from_timezone: str = "UTC",
+        parser_mode: str = "auto",
+    ):
         if not formats:
             raise ValueError("format list must not be empty")
+        if parser_mode == "auto_java":
+            # dialect lowering: ruby formats converted to Joda (keeping ruby
+            # on failed conversion), which CHANGES semantics to the java
+            # parser's (milli truncation / nnnnnnnnn nano hack) — parity
+            # with ColumnCaster.getTimestampParser (ColumnCaster.java:76-90)
+            formats = [
+                (FT.ruby_to_java_format(f) or f) if "%" in f else f for f in formats
+            ]
         self.formats = list(formats)
         self.from_timezone = from_timezone
         self.parsed = [FT.parse_format(f) for f in formats]

@@ -212,7 +212,7 @@ def col_floor_div(c: Column, divisor: int) -> Column:
 
 
 def col_long_to_nanos(c: Column, from_unit: TimestampUnit) -> Column:
-    return (c * F.lit(from_unit.scale_to_nano)).cast("long")
+    return c.cast("long") * F.lit(from_unit.scale_to_nano).cast("long")
 
 
 def col_double_to_nanos(c: Column, from_unit: TimestampUnit) -> Column:
@@ -237,7 +237,7 @@ def col_change_unit_long(
     if from_unit.scale == to_unit.scale:
         return c.cast("long")
     if from_unit.scale < to_unit.scale:
-        return (c * F.lit(to_unit.scale // from_unit.scale)).cast("long")
+        return c.cast("long") * F.lit(to_unit.scale // from_unit.scale).cast("long")
     return col_trunc_div(c, from_unit.scale // to_unit.scale)
 
 

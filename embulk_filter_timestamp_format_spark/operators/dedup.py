@@ -83,13 +83,40 @@ def ngram_jaccard_pairs(
 
     Exact but quadratic per block — the verification baseline for the LSH
     path (and the oracle query). Output: (id_a, id_b, jaccard) id_a<id_b.
+
+    Pruning (exact, no false negatives at threshold ≥ 0.5):
+
+    * size-band blocking — J(A,B) ≥ 0.8 ⇒ |A|/|B| ∈ [0.8, 1.25] ⇒ the
+      bit-lengths of the shingle counts differ by ≤ 1; pairs join on
+      (block, band±1). Integer-exact, so the SQL oracle reproduces it.
+    * size-ratio prefilter — J ≥ τ ⇒ τ·max ≤ min (checked with integer
+      arithmetic for τ=0.8: 5·min ≥ 4·max) BEFORE the array intersection.
     """
+    assert threshold >= 0.8, "size-band pruning is proven for threshold >= 0.8"
     sh = df.select(
         F.col(id_col), F.col(block_col).alias("__block"), shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__block"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__block"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, ["__block"]).filter(F.col("id_a") < F.col("id_b"))
+    sh = sh.withColumn("__sz", F.size("sh")).withColumn(
+        "__band", F.length(F.bin(F.col("__sz")))
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("__block"), F.col("sh").alias("sh_a"),
+        F.col("__sz").alias("sz_a"),
+        F.explode(
+            F.array(F.col("__band") - 1, F.col("__band"), F.col("__band") + 1)
+        ).alias("__band"),
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("__block"), F.col("sh").alias("sh_b"),
+        F.col("__sz").alias("sz_b"), F.col("__band"),
+    )
+    pairs = (
+        a.join(b, ["__block", "__band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("sz_a", "sz_b") * 5 >= F.greatest("sz_a", "sz_b") * 4
+        )
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / union.cast("double")

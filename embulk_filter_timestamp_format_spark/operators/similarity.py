@@ -80,17 +80,18 @@ def lsh_ann_topk(
     df: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    num_planes: int = 12,
+    num_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 11,
-    multiprobe: bool = True,
+    probe_hamming: int = 2,
 ) -> DataFrame:
     """ANN: random-hyperplane LSH signature → bucket join → exact re-rank
-    of candidates. `multiprobe` also probes the `num_planes` buckets at
-    Hamming distance 1 from the query's bucket (recall boost at the cost
-    of (P+1)× candidate lookups)."""
+    of candidates only. ``probe_hamming`` multiprobes every bucket within
+    that Hamming distance of the query's bucket (recall/cost dial; at
+    cluster scale raise num_planes with table size and keep the probed
+    fraction of bucket space roughly constant)."""
     planes = [_pseudo_plane(dim, p, seed) for p in range(num_planes)]
     sig = None
     for p, plane in enumerate(planes):
@@ -103,13 +104,16 @@ def lsh_ann_topk(
         F.col(vec_col).alias("qv"),
         F.col("bucket").alias("qbucket"),
     )
-    if multiprobe:
-        probes = F.array(
-            F.col("qbucket"),
-            *[F.col("qbucket").bitwiseXOR(F.lit(2**p)).cast("long") for p in range(num_planes)],
-        )
-    else:
-        probes = F.array(F.col("qbucket"))
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << p for p in range(num_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << p1) | (1 << p2)
+            for p1 in range(num_planes)
+            for p2 in range(p1 + 1, num_planes)
+        ]
+    probes = F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks])
     qx = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
 
     cand = base.join(F.broadcast(qx), "bucket").filter(F.col(id_col) != F.col("query_id"))

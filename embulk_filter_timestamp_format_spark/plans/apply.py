@@ -129,7 +129,9 @@ def _compile_plans(
         casts[c.name] = CastPlan(
             src,
             c.type,
-            parser=TimestampParserPlan(task.from_formats(c), task.from_tz(c)),
+            parser=TimestampParserPlan(
+                task.from_formats(c), task.from_tz(c), task.timestamp_parser
+            ),
             formatter=TimestampFormatterPlan(task.to_fmt(c), task.to_tz(c)),
             from_unit=task.from_unit_of(c),
             to_unit=task.to_unit_of(c),
@@ -148,7 +150,9 @@ def _compile_plans(
                     CastPlan(
                         "string",  # re-dispatched per leaf at runtime
                         c.type,
-                        parser=TimestampParserPlan(task.from_formats(c), task.from_tz(c)),
+                        parser=TimestampParserPlan(
+                            task.from_formats(c), task.from_tz(c), task.timestamp_parser
+                        ),
                         formatter=TimestampFormatterPlan(task.to_fmt(c), task.to_tz(c)),
                         from_unit=task.from_unit_of(c),
                         to_unit=task.to_unit_of(c),
@@ -168,9 +172,24 @@ def apply_task(df: DataFrame, task: TaskConfig) -> DataFrame:
     if task.engine == "arrow":
         return _apply_arrow(df, task, casts, json_plans)
 
+    # Stage 1: instant-routed casts compute epoch-nanos into intermediate
+    # columns (one evaluation; the formatter then references the attribute
+    # instead of re-inlining the parse tree per segment — CollapseProject
+    # keeps the stage because the nanos column is non-cheap and multiply
+    # referenced).
+    staged = {name: f"__nanos__{name}" for name, cp in casts.items() if cp.needs_instant}
+    if staged:
+        stage1 = [F.col(f.name) for f in schema.fields]
+        stage1 += [
+            casts[name].to_nanos_expr(F.col(name)).alias(tmp) for name, tmp in staged.items()
+        ]
+        df = df.select(*stage1)
+
     cols = []
     for f in schema.fields:
-        if f.name in casts:
+        if f.name in staged:
+            cols.append(casts[f.name].from_nanos_expr(F.col(staged[f.name])).alias(f.name))
+        elif f.name in casts:
             cols.append(casts[f.name].expr(F.col(f.name)).alias(f.name))
         elif f.name in json_plans:
             cols.append(_json_rewrite_udf(json_plans[f.name])(F.col(f.name)).alias(f.name))

@@ -163,8 +163,9 @@ class CdcPipeline:
                         f"batch {batch_id}: {n_bad} unparseable record(s); aborting before commit"
                     )
 
-        coerced = self.coerce(batch_df)
-        stats_row = coerced.agg(
+        t0 = time.time()
+        # batch stats on the RAW batch (parquet scan only, no parse cascade)
+        stats_row = batch_df.agg(
             F.count("*").alias("events"),
             F.min("offset").alias("min_offset"),
             F.max("offset").alias("max_offset"),
@@ -173,7 +174,13 @@ class CdcPipeline:
         if stats_row["events"] == 0:
             return None
 
-        latest = dedup_latest(coerced, salt_buckets=self.salt_buckets)
+        coerced = self.coerce(batch_df)
+        # cache the deduped updates so the merge's two actions (touched-
+        # bucket probe, copy-on-write join) reuse one computation of the
+        # parse cascade instead of three
+        latest = dedup_latest(coerced, salt_buckets=self.salt_buckets).persist()
+        t_dedup = time.time()
+
         updates = latest.select(
             "op", "doc_id", "tokens", "n_tok", "source",
             "event_time_str", "event_time", "ingest_time_unix", "event_seq",
@@ -189,7 +196,10 @@ class CdcPipeline:
         version = self.table.merge_into(
             updates, batch_id=batch_id, source=self.source_name, lineage=lineage
         )
+        latest.unpersist()
         lineage["snapshot_version"] = version
+        lineage["dedup_sec"] = round(t_dedup - t0, 3)
+        lineage["merge_sec"] = round(time.time() - t_dedup, 3)
         lineage["wall_time"] = time.time()
         self.metrics.append(lineage)
         if self.metrics_path:

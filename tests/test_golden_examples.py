@@ -358,6 +358,42 @@ def test_from_string_java_golden(spark, engine):
 
 
 # ---------------------------------------------------------------------------
+# example/from_string_auto_java.yml → from_string_auto_java.txt
+# (timestamp_parser: auto_java — ruby formats lowered to Joda at plan time,
+#  ColumnCaster.java:76-90; %N → nnnnnnnnn keeps nano fidelity)
+# ---------------------------------------------------------------------------
+
+AUTO_JAVA_TASK = {
+    "default_from_timezone": "Asia/Taipei",
+    "default_from_timestamp_format": [
+        "%Y-%m-%d",
+        "%Y-%m-%d %Z",
+        "%Y-%m-%d %H:%M:%S.%N %Z",
+        "%Y-%m-%d %H:%M:%S %Z",
+        "%Y-%m-%d %H:%M:%S",
+    ],
+    "default_to_timezone": "Asia/Taipei",
+    "default_to_timestamp_format": "%Y-%m-%d %H:%M:%S.%N",
+    "timestamp_parser": "auto_java",
+    "columns": [
+        {"name": "string1"},
+        {"name": "string2", "type": "long", "to_unit": "ms"},
+    ],
+}
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_from_string_auto_java_golden(spark, engine):
+    rows = [(s, s) for s in FROM_STRING_INPUTS]
+    out = _run(spark, engine, rows, "string1 string, string2 string", AUTO_JAVA_TASK)
+    # golden from_string_auto_java.txt equals the pure-ruby golden (nano
+    # fidelity preserved through the nnnnnnnnn conversion)
+    for row, (g_str, g_ms, _) in zip(out, FROM_STRING_GOLDEN):
+        assert row["string1"] == g_str
+        assert row["string2"] == g_ms
+
+
+# ---------------------------------------------------------------------------
 # error policy: invalid value → NULL; NULL in → NULL out (fine print #10)
 # ---------------------------------------------------------------------------
 
