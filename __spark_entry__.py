@@ -267,6 +267,11 @@ _SHINGLES = (
     f"list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1), "
     f"i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 )
+# 60-bit md5-prefix shingle keys (must match operators.dedup.shingle_keys)
+_SHINGLE_KEYS = (
+    f"list_distinct(list_transform({_SHINGLES}, "
+    f"x -> (('0x' || substring(md5(x), 1, 15))::BIGINT)))"
+)
 
 
 def _lang_case() -> str:
@@ -381,7 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             WITH sh AS (
               SELECT doc_id, lang, s, len(s) AS sz, length(bin(len(s))) AS band
-              FROM (SELECT doc_id, lang, {_SHINGLES} AS s
+              FROM (SELECT doc_id, lang, {_SHINGLE_KEYS} AS s
                     FROM (SELECT doc_id, lang,
                                  list_transform({_WORDS}, x -> lower(x)) AS w
                           FROM documents))

@@ -113,7 +113,10 @@ def bench_parse_format(spark, rows: int = 2_000_000) -> dict:
     )
     parser = TimestampParserPlan(["%Y-%m-%d %H:%M:%S.%N"], "UTC")
     fmt = TimestampFormatterPlan("%Y-%m-%d", "UTC")
-    out = df.select(fmt.format_expr(parser.parse_expr(F.col("s"))).alias("d"))
+    # staged: nanos in an intermediate projection (same rule as apply_task)
+    out = df.select(parser.parse_expr(F.col("s")).alias("__n")).select(
+        fmt.format_expr(F.col("__n")).alias("d")
+    )
     force(out)  # warm (codegen compile)
     t0 = time.time()
     force(out)

@@ -194,15 +194,33 @@ def _col_offset_seconds(g: Column) -> Column:
     return F.when(is_num, num_off).otherwise(name_off).cast("long")
 
 
+_MARK = "\x01"  # match sentinel (cannot occur in timestamp text)
+_SEP = "\x02"  # field separator
+
+
 def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
-    """One format → epoch-nanos Column (NULL on mismatch/invalid)."""
+    """One format → epoch-nanos Column (NULL on mismatch/invalid).
+
+    All capture groups are extracted in a SINGLE regex pass:
+    ``regexp_replace(col, pattern, "\\x01$1\\x02$2...")`` rewrites a
+    matching value into a sentinel-prefixed, separator-delimited field
+    string (a non-match passes through unchanged → no sentinel); fields
+    are then O(1) array lookups. One regex execution per (row, format)
+    instead of one per (row, field) — ~10× less regex work and ~10×
+    smaller generated code than per-field regexp_extract.
+    """
     pattern, fields = build_regex(pf)
     by_kind: dict[str, list[FieldRef]] = {}
     for fr in fields:
         by_kind.setdefault(fr.tok.kind, []).append(fr)
 
+    repl = _MARK + _SEP.join(f"${i + 1}" for i in range(len(fields)))
+    marked = F.regexp_replace(col, pattern, repl)
+    matched = marked.startswith(_MARK)
+    parts = F.split(F.substring(marked, 2, 1_000_000), _SEP, -1)
+
     def g(fr: FieldRef) -> Column:
-        return F.regexp_extract(col, pattern, fr.group)
+        return F.try_element_at(parts, F.lit(fr.group))
 
     def gi(fr: FieldRef) -> Column:
         return F.trim(g(fr)).try_cast("int")
@@ -234,7 +252,7 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
 
     if ep is not None:
         nanos = gi(ep).cast("long") * F.lit(1_000_000_000) + frac_nanos
-        return F.when(col.rlike(pattern), nanos).otherwise(F.lit(None).cast("long"))
+        return F.when(matched, nanos).otherwise(F.lit(None).cast("long"))
 
     # --- civil date ---
     y4, y2, cen = first(FT.Y4), first(FT.Y2), first(FT.CENTURY)
@@ -311,7 +329,7 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
         utc_sec = _apply_from_tz_col(naive_sec, from_tz)
 
     nanos = utc_sec * F.lit(1_000_000_000) + frac_nanos
-    ok = col.rlike(pattern) & valid_date & valid_time
+    ok = matched & valid_date & valid_time
     return F.when(ok, nanos).otherwise(F.lit(None).cast("long"))
 
 

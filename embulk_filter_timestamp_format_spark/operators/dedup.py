@@ -39,6 +39,20 @@ def shingles(col, n: int = 3):
     return F.array_distinct(grams)
 
 
+def shingle_keys(col, n: int = 3):
+    """Distinct 60-bit integer shingle keys: first 15 hex digits of the
+    md5 of each n-gram. Set operations on int64 are far cheaper than on
+    strings at scale, the keyspace (2^60) makes collisions negligible,
+    and md5-prefix (unlike xxhash64) is reproducible in the SQL oracle
+    (`('0x' || substring(md5(s),1,15))::BIGINT`)."""
+    return F.array_distinct(
+        F.transform(
+            shingles(col, n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -94,7 +108,7 @@ def ngram_jaccard_pairs(
     """
     assert threshold >= 0.8, "size-band pruning is proven for threshold >= 0.8"
     sh = df.select(
-        F.col(id_col), F.col(block_col).alias("__block"), shingles(F.col(text_col), n).alias("sh")
+        F.col(id_col), F.col(block_col).alias("__block"), shingle_keys(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
     sh = sh.withColumn("__sz", F.size("sh")).withColumn(
         "__band", F.length(F.bin(F.col("__sz")))
@@ -157,7 +171,7 @@ def minhash_lsh_pairs(
     band-bucket shuffle and the candidate join."""
     rows = num_hashes // bands
     sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
+        F.col(id_col), shingle_keys(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
     sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
     banded = sig.select(
