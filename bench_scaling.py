@@ -80,7 +80,7 @@ def main():
         binlog_dir = os.path.join(work, "binlog")
         generate_binlog(
             spark, binlog_dir, num_events, num_docs=max(num_events // 10, 1000),
-            num_chunks=8,
+            num_chunks=4,
         )
         spark.stop()
 

@@ -266,6 +266,8 @@ class IceTable:
 
         u = updates.withColumn("__bucket", self._bucket_expr(key, num_buckets))
         touched = {r["__bucket"] for r in u.select("__bucket").distinct().collect()}
+        if not touched:
+            return None  # empty batch: no commit (re-delivery is a no-op anyway)
         target = self._read_buckets(snap, touched)
 
         ucols = u.select(

@@ -163,39 +163,63 @@ def _compile_plans(
     return casts, json_plans
 
 
+class CompiledProjection:
+    """Pre-built Column lists for one (task, schema) — build once, apply to
+    every micro-batch (Columns are unresolved expressions, reusable across
+    DataFrames with the same schema; avoids thousands of serial py4j calls
+    per batch — the plan-time analog of the reference's per-task kernel
+    cache, ColumnCaster.java:37-58)."""
+
+    def __init__(self, task: TaskConfig, schema: T.StructType):
+        validate_task(task, schema)
+        self.task = task
+        self.schema = schema
+        self.casts, self.json_plans = _compile_plans(task, schema)
+        self.arrow = task.engine == "arrow"
+        if self.arrow:
+            return
+
+        # Stage 1: instant-routed casts compute epoch-nanos into
+        # intermediate columns (one evaluation; the formatter then
+        # references the attribute instead of re-inlining the parse tree
+        # per segment — CollapseProject keeps the stage because the nanos
+        # column is non-cheap and multiply referenced).
+        staged = {
+            name: f"__nanos__{name}" for name, cp in self.casts.items() if cp.needs_instant
+        }
+        self.stage1 = None
+        if staged:
+            self.stage1 = [F.col(f.name) for f in schema.fields]
+            self.stage1 += [
+                self.casts[name].to_nanos_expr(F.col(name)).alias(tmp)
+                for name, tmp in staged.items()
+            ]
+        self.stage2 = []
+        for f in schema.fields:
+            if f.name in staged:
+                self.stage2.append(
+                    self.casts[f.name].from_nanos_expr(F.col(staged[f.name])).alias(f.name)
+                )
+            elif f.name in self.casts:
+                self.stage2.append(self.casts[f.name].expr(F.col(f.name)).alias(f.name))
+            elif f.name in self.json_plans:
+                self.stage2.append(
+                    _json_rewrite_udf(self.json_plans[f.name])(F.col(f.name)).alias(f.name)
+                )
+            else:
+                self.stage2.append(F.col(f.name))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.arrow:
+            return _apply_arrow(df, self.task, self.casts, self.json_plans)
+        if self.stage1 is not None:
+            df = df.select(*self.stage1)
+        return df.select(*self.stage2)
+
+
 def apply_task(df: DataFrame, task: TaskConfig) -> DataFrame:
-    """The filter: one projection, untargeted columns verbatim."""
-    schema = df.schema
-    validate_task(task, schema)
-    casts, json_plans = _compile_plans(task, schema)
-
-    if task.engine == "arrow":
-        return _apply_arrow(df, task, casts, json_plans)
-
-    # Stage 1: instant-routed casts compute epoch-nanos into intermediate
-    # columns (one evaluation; the formatter then references the attribute
-    # instead of re-inlining the parse tree per segment — CollapseProject
-    # keeps the stage because the nanos column is non-cheap and multiply
-    # referenced).
-    staged = {name: f"__nanos__{name}" for name, cp in casts.items() if cp.needs_instant}
-    if staged:
-        stage1 = [F.col(f.name) for f in schema.fields]
-        stage1 += [
-            casts[name].to_nanos_expr(F.col(name)).alias(tmp) for name, tmp in staged.items()
-        ]
-        df = df.select(*stage1)
-
-    cols = []
-    for f in schema.fields:
-        if f.name in staged:
-            cols.append(casts[f.name].from_nanos_expr(F.col(staged[f.name])).alias(f.name))
-        elif f.name in casts:
-            cols.append(casts[f.name].expr(F.col(f.name)).alias(f.name))
-        elif f.name in json_plans:
-            cols.append(_json_rewrite_udf(json_plans[f.name])(F.col(f.name)).alias(f.name))
-        else:
-            cols.append(F.col(f.name))
-    return df.select(*cols)
+    """The filter: one (staged) projection, untargeted columns verbatim."""
+    return CompiledProjection(task, df.schema).apply(df)
 
 
 def _json_rewrite_udf(plan: JsonRewritePlan):

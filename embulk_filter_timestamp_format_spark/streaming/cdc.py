@@ -130,24 +130,34 @@ class CdcPipeline:
         self.salt_buckets = salt_buckets
         self.metrics_path = metrics_path
         self.metrics: list[dict] = []
+        self._proj = None
+        self._out_cols = None
 
     # ------------------------------------------------------------------
 
     def coerce(self, batch_df: DataFrame) -> DataFrame:
-        """tsfmt layer → target schema. tokens untouched (invariant)."""
-        coerced = apply_task(batch_df, self.task)
-        return coerced.select(
-            F.col("op"),
-            F.col("doc_id"),
-            F.col("event_seq"),
-            F.col("offset"),
-            F.col("tokens"),
-            F.col("n_tok"),
-            F.col("source"),
-            F.col("event_time_str"),
-            F.col("event_time_ms").alias("event_time"),
-            F.col("event_time_sec").alias("ingest_time_unix"),
-        )
+        """tsfmt layer → target schema. tokens untouched (invariant).
+
+        The projection (stage columns included) is compiled once per
+        pipeline and reused for every micro-batch — per-batch Python work
+        is just two `select` calls."""
+        if self._proj is None:
+            from ..plans.apply import CompiledProjection
+
+            self._proj = CompiledProjection(self.task, batch_df.schema)
+            self._out_cols = [
+                F.col("op"),
+                F.col("doc_id"),
+                F.col("event_seq"),
+                F.col("offset"),
+                F.col("tokens"),
+                F.col("n_tok"),
+                F.col("source"),
+                F.col("event_time_str"),
+                F.col("event_time_ms").alias("event_time"),
+                F.col("event_time_sec").alias("ingest_time_unix"),
+            ]
+        return self._proj.apply(batch_df).select(*self._out_cols)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> "int | None":
         """foreachBatch body. Returns committed snapshot version."""
@@ -164,17 +174,20 @@ class CdcPipeline:
                     )
 
         t0 = time.time()
-        # batch stats on the RAW batch (parquet scan only, no parse cascade)
-        stats_row = batch_df.agg(
-            F.count("*").alias("events"),
+        # batch lineage stats ride along as an Observation — collected as a
+        # side effect of the merge's own actions, NO extra pass over the data
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = batch_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("events"),
             F.min("offset").alias("min_offset"),
             F.max("offset").alias("max_offset"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
-        ).collect()[0]
-        if stats_row["events"] == 0:
-            return None
+        )
 
-        coerced = self.coerce(batch_df)
+        coerced = self.coerce(observed)
         # cache the deduped updates so the merge's two actions (touched-
         # bucket probe, copy-on-write join) reuse one computation of the
         # parse cascade instead of three
@@ -185,18 +198,15 @@ class CdcPipeline:
             "op", "doc_id", "tokens", "n_tok", "source",
             "event_time_str", "event_time", "ingest_time_unix", "event_seq",
         )
-        lineage = {
-            "batch_id": batch_id,
-            "source": self.source_name,
-            "events": stats_row["events"],
-            "min_offset": stats_row["min_offset"],
-            "max_offset": stats_row["max_offset"],
-            "deletes": stats_row["deletes"],
-        }
+        lineage = {"batch_id": batch_id, "source": self.source_name}
         version = self.table.merge_into(
             updates, batch_id=batch_id, source=self.source_name, lineage=lineage
         )
         latest.unpersist()
+        if version is None:
+            return None  # empty batch: nothing merged, nothing committed
+        # Observation values are available once the merge's actions ran
+        lineage.update(obs.get)
         lineage["snapshot_version"] = version
         lineage["dedup_sec"] = round(t_dedup - t0, 3)
         lineage["merge_sec"] = round(time.time() - t_dedup, 3)
