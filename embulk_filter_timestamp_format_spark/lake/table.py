@@ -249,12 +249,19 @@ class IceTable:
         source: str = "default",
         op_col: str = "op",
         lineage: "dict | None" = None,
-    ) -> int:
+        probe_df: "DataFrame | None" = None,
+    ) -> "int | None":
         """Copy-on-write MERGE: `updates` has one row per key with op I/U/D
         (pre-deduped by the caller); I/U upsert the payload, D deletes.
         Only buckets containing updated keys are rewritten.
 
-        Returns the committed version (unchanged when the batch is fenced).
+        ``probe_df``: optional cheap source of the touched keys (e.g. the
+        RAW change batch before any transformation) — the touched-bucket
+        probe then costs a column-pruned scan instead of executing the
+        whole update plan twice.
+
+        Returns the committed version (None for an empty batch; unchanged
+        version when the batch id is fenced).
         """
         snap = self.snapshot()
         if batch_id is not None and self._fenced(snap, source, batch_id):
@@ -264,10 +271,16 @@ class IceTable:
         schema = T.StructType.fromJson(snap["schema"])
         payload_cols = [f.name for f in schema.fields]
 
-        u = updates.withColumn("__bucket", self._bucket_expr(key, num_buckets))
-        touched = {r["__bucket"] for r in u.select("__bucket").distinct().collect()}
+        probe = probe_df if probe_df is not None else updates
+        touched = {
+            r["__bucket"]
+            for r in probe.select(
+                self._bucket_expr(key, num_buckets).alias("__bucket")
+            ).distinct().collect()
+        }
         if not touched:
             return None  # empty batch: no commit (re-delivery is a no-op anyway)
+        u = updates.withColumn("__bucket", self._bucket_expr(key, num_buckets))
         target = self._read_buckets(snap, touched)
 
         ucols = u.select(

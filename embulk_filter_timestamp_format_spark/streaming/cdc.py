@@ -174,24 +174,21 @@ class CdcPipeline:
                     )
 
         t0 = time.time()
-        # batch lineage stats ride along as an Observation — collected as a
-        # side effect of the merge's own actions, NO extra pass over the data
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        observed = batch_df.observe(
-            obs,
+        # batch lineage stats from the RAW batch: a column-pruned scan
+        # (parquet footer stats make this nearly free) — never executes the
+        # parse plan. (An Observation would be free-er, but Observation.get
+        # never resolves for foreachBatch micro-batch lineage.)
+        stats = batch_df.agg(
             F.count(F.lit(1)).alias("events"),
             F.min("offset").alias("min_offset"),
             F.max("offset").alias("max_offset"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
-        )
+        ).collect()[0]
+        if stats["events"] == 0:
+            return None
 
-        coerced = self.coerce(observed)
-        # cache the deduped updates so the merge's two actions (touched-
-        # bucket probe, copy-on-write join) reuse one computation of the
-        # parse cascade instead of three
-        latest = dedup_latest(coerced, salt_buckets=self.salt_buckets).persist()
+        coerced = self.coerce(batch_df)
+        latest = dedup_latest(coerced, salt_buckets=self.salt_buckets)
         t_dedup = time.time()
 
         updates = latest.select(
@@ -199,14 +196,19 @@ class CdcPipeline:
             "event_time_str", "event_time", "ingest_time_unix", "event_seq",
         )
         lineage = {"batch_id": batch_id, "source": self.source_name}
+        # touched-bucket probe runs on the RAW batch (column-pruned scan of
+        # doc_id only); the coercion+dedup plan executes exactly ONCE, in
+        # the copy-on-write write action
         version = self.table.merge_into(
-            updates, batch_id=batch_id, source=self.source_name, lineage=lineage
+            updates,
+            batch_id=batch_id,
+            source=self.source_name,
+            lineage=lineage,
+            probe_df=batch_df.select("doc_id"),
         )
-        latest.unpersist()
         if version is None:
             return None  # empty batch: nothing merged, nothing committed
-        # Observation values are available once the merge's actions ran
-        lineage.update(obs.get)
+        lineage.update(stats.asDict())
         lineage["snapshot_version"] = version
         lineage["dedup_sec"] = round(t_dedup - t0, 3)
         lineage["merge_sec"] = round(time.time() - t_dedup, 3)
