@@ -280,30 +280,21 @@ class IceTable:
         }
         if not touched:
             return None  # empty batch: no commit (re-delivery is a no-op anyway)
-        u = updates.withColumn("__bucket", self._bucket_expr(key, num_buckets))
         target = self._read_buckets(snap, touched)
 
-        ucols = u.select(
-            F.col(key).alias("__k"),
-            F.col(op_col).alias("__op"),
-            *[F.col(c).alias(f"__u_{c}") for c in payload_cols],
-        )
+        # MERGE = (target rows whose key is NOT updated)  ∪  (upserts).
+        # The anti-join needs only the update KEYS — broadcastable, so the
+        # target side is filtered with NO shuffle and NO sort (a full-outer
+        # formulation would force a SortMergeJoin of the wide rows).
+        # At billion-key batch scale disable the broadcast (AQE then picks
+        # a shuffled-hash anti join keyed on doc_id — both sides already
+        # hash-partition on it).
+        upserts = updates.filter(F.col(op_col) != "D").select(*payload_cols)
         if target is None:
-            merged = ucols.filter(F.col("__op") != "D").select(
-                *[F.col(f"__u_{c}").alias(c) for c in payload_cols]
-            )
+            merged = upserts
         else:
-            joined = target.join(ucols, target[key] == ucols["__k"], "full_outer")
-            has_update = F.col("__op").isNotNull()
-            merged = (
-                joined.filter(~(has_update & (F.col("__op") == "D")))
-                .select(
-                    *[
-                        F.when(has_update, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
-                        for c in payload_cols
-                    ]
-                )
-            )
+            upd_keys = F.broadcast(updates.select(key))
+            merged = target.join(upd_keys, key, "left_anti").unionByName(upserts)
 
         entries = self._write_data_files(merged, key, num_buckets, snap["schema_version"])
         new = self._child(snap, "merge")

@@ -81,28 +81,36 @@ def dedup_latest(
     key: str = "doc_id",
     seq: str = "event_seq",
     salt_buckets: int = 0,
+    broadcast_maxes: bool = True,
 ) -> DataFrame:
-    """Keep the row with the max `seq` per `key`.
+    """Keep the row with the max `seq` per `key` (`seq` values are unique
+    per key — binlog positions).
 
-    Two-phase max_by aggregation (skew-safe: map-side partial aggregation
-    combines hot keys before the shuffle). With ``salt_buckets`` > 0 an
-    explicit intermediate (key, salt) aggregation adds a pre-shuffle
-    spread for pathological skew. Semantics are those of
-    row_number() over (partition by key order by seq desc) = 1 — the
-    window form is the spec in tests; this form avoids the sort and the
-    single-partition-per-key pressure.
+    Implementation: hash-aggregate ``max(seq)`` per key (fixed-width
+    buffer → HashAggregate with map-side partial combine, which absorbs
+    hot keys before the shuffle), then join the (key, max seq) pairs back
+    to fetch the payload. The maxes side is tiny (two scalar columns) —
+    broadcast by default, so the payload rows are filtered WITHOUT any
+    shuffle or sort of the wide batch. A ``max_by(struct(payload))``
+    aggregation would compile to SortAggregate (two full sorts of the
+    wide rows); row_number() over a window is the semantic spec in tests
+    but has the same sort problem.
+
+    ``salt_buckets`` adds an explicit (key, salt) pre-aggregation for
+    pathological skew beyond what partial aggregation absorbs.
+    At cluster scale set ``broadcast_maxes=False`` when the distinct-key
+    count per batch is too large to broadcast; AQE then picks a
+    shuffled-hash join.
     """
-    cols = [c for c in df.columns if c != key]
-    payload = F.struct(*[F.col(c) for c in cols])
     if salt_buckets and salt_buckets > 1:
         salted = df.withColumn("__salt", F.pmod(F.col(seq), F.lit(salt_buckets)))
-        partial = salted.groupBy(key, "__salt").agg(
-            F.max_by(payload, F.col(seq)).alias("__p"), F.max(seq).alias("__s")
-        )
-        agg = partial.groupBy(key).agg(F.max_by(F.col("__p"), F.col("__s")).alias("__p"))
+        partial = salted.groupBy(key, "__salt").agg(F.max(seq).alias(seq))
+        maxes = partial.groupBy(key).agg(F.max(seq).alias(seq))
     else:
-        agg = df.groupBy(key).agg(F.max_by(payload, F.col(seq)).alias("__p"))
-    return agg.select(key, *[F.col(f"__p.{c}").alias(c) for c in cols])
+        maxes = df.groupBy(key).agg(F.max(seq).alias(seq))
+    if broadcast_maxes:
+        maxes = F.broadcast(maxes)
+    return df.join(maxes, [key, seq])
 
 
 class InvalidRecordError(RuntimeError):
