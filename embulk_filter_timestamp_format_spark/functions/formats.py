@@ -46,6 +46,8 @@ DAY_ABBR = "DAY_ABBR"  # %a, EEE
 DAY_FULL = "DAY_FULL"  # %A, EEEE
 H24 = "H24"  # %H %k, HH
 H12 = "H12"  # %I %l, hh
+H24C = "H24C"  # java k/kk — Joda clockhour-of-day 1..24
+H11 = "H11"  # java K/KK — Joda hour-of-halfday 0..11
 MINUTE = "MINUTE"  # %M, mm
 SECOND = "SECOND"  # %S, ss
 FRAC = "FRAC"  # %N %L, S+, n+  (n = digits; variable => 1..9 digits)
@@ -53,11 +55,15 @@ AMPM = "AMPM"  # %p %P, a
 TZOFF = "TZOFF"  # %z %:z %::z, Z  (style: '', ':', '::')
 TZNAME = "TZNAME"  # %Z, z
 EPOCH = "EPOCH"  # %s
-WEEK = "WEEK"  # %U %V %W, w (parse: match+ignore)
-WDAY = "WDAY"  # %u %w, e (parse: match+ignore)
+WEEK = "WEEK"  # %U %V %W, w (parse: used with GYEAR, else match+ignore)
+WDAY = "WDAY"  # %u %w, e (parse: used with GYEAR, else match+ignore)
 ERA = "ERA"  # G (java only; format 'AD', parse ignore)
+GYEAR = "GYEAR"  # %G (%g 2-digit: digits=2) — ISO week-based year
 
-_NUMERIC_KINDS = {Y4, Y2, CENTURY, MONTH_NUM, DAY_NUM, DOY, H24, H12, MINUTE, SECOND, WEEK, WDAY, EPOCH}
+_NUMERIC_KINDS = {
+    Y4, Y2, CENTURY, MONTH_NUM, DAY_NUM, DOY, H24, H12, H24C, H11,
+    MINUTE, SECOND, WEEK, WDAY, EPOCH, GYEAR,
+}
 
 
 @dataclass(frozen=True)
@@ -138,6 +144,11 @@ _RUBY_SIMPLE = {
     "W": Tok(WEEK),
     "u": Tok(WDAY),
     "w": Tok(WDAY),
+    # ISO week-based year (JRuby strptime accepts these,
+    # TimestampParser.java:101-121); combined with %V+%u they define a
+    # full ISO week date, alone they approximate the calendar year.
+    "G": Tok(GYEAR),
+    "g": Tok(GYEAR, digits=2),
 }
 
 
@@ -195,6 +206,10 @@ _JODA_MAP = {
     "e": {1: Tok(WDAY)},
     "H": {1: Tok(H24, pad="-"), 2: Tok(H24)},
     "h": {1: Tok(H12, pad="-"), 2: Tok(H12)},
+    # Joda clockhour-of-day (1-24) and hour-of-halfday (0-11) — the
+    # reference accepts any Joda letter (TimestampParser.java:76-80)
+    "k": {1: Tok(H24C, pad="-"), 2: Tok(H24C)},
+    "K": {1: Tok(H11, pad="-"), 2: Tok(H11)},
     "m": {1: Tok(MINUTE, pad="-"), 2: Tok(MINUTE)},
     "s": {1: Tok(SECOND, pad="-"), 2: Tok(SECOND)},
     "a": {1: Tok(AMPM)},
@@ -318,6 +333,8 @@ _SPARK_PATTERN_CHUNK = {
     DAY_FULL: "EEEE",
     H24: "HH",
     H12: "hh",
+    H24C: "kk",
+    H11: "KK",
     MINUTE: "mm",
     SECOND: "ss",
     AMPM: "a",
@@ -332,6 +349,8 @@ _SPARK_PATTERN_CHUNK_NOPAD = {
     DOY: "D",
     H24: "H",
     H12: "h",
+    H24C: "k",
+    H11: "K",
     MINUTE: "m",
     SECOND: "s",
 }
@@ -370,9 +389,9 @@ def to_spark_parse_pattern(pf: ParsedFormat) -> "str | None":
             if pf.dialect == "ruby":
                 return None
             chunks.append("Z")
-        elif t.kind in (TZNAME, EPOCH, WEEK, WDAY, CENTURY):
+        elif t.kind in (TZNAME, EPOCH, WEEK, WDAY, CENTURY, GYEAR):
             return None
-        elif t.kind in (MONTH_NUM, DAY_NUM, H24, H12, MINUTE, SECOND) and t.pad in ("-", "_"):
+        elif t.kind in (MONTH_NUM, DAY_NUM, H24, H12, H24C, H11, MINUTE, SECOND) and t.pad in ("-", "_"):
             chunks.append(_SPARK_PATTERN_CHUNK_NOPAD[t.kind])
         else:
             chunk = _SPARK_PATTERN_CHUNK.get(t.kind)

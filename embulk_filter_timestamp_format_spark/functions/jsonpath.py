@@ -161,9 +161,15 @@ class JsonRewritePlan:
                 for k, val in zip(sel, out.tolist()):
                     results[k] = None if val is pd.NA or (isinstance(val, float) and np.isnan(val)) else val
 
-        # phase 3: write back and re-encode
+        # phase 3: write back and re-encode. Hits that were never cast
+        # (runtime type outside long/double/string, e.g. boolean or null —
+        # no phase-2 mask selected them) keep their original leaf value,
+        # mirroring JsonCaster.java:46-110 which returns non-castable
+        # values unchanged; only an ATTEMPTED cast may produce null.
         for k, (row, container, key, _, _) in enumerate(hits):
-            val = results.get(k)
+            if k not in results:
+                continue
+            val = results[k]
             if isinstance(val, np.integer):
                 val = int(val)
             elif isinstance(val, np.floating):

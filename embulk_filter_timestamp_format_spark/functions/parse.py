@@ -81,7 +81,9 @@ def _group_regex(tok: Tok, next_is_digit: bool) -> str:
         return r"(\d{4})"
     if k in (FT.Y2, FT.CENTURY):
         return r"(\d{2})"
-    if k in (FT.MONTH_NUM, FT.H24, FT.H12, FT.MINUTE, FT.SECOND, FT.DAY_NUM, FT.WEEK):
+    if k == FT.GYEAR:
+        return r"(\d{2})" if tok.digits == 2 else r"(\d{4})"
+    if k in (FT.MONTH_NUM, FT.H24, FT.H12, FT.H24C, FT.H11, FT.MINUTE, FT.SECOND, FT.DAY_NUM, FT.WEEK):
         if tok.pad == "_":
             return r"(\s?\d{1,2})"
         return r"(\d{2})" if next_is_digit else r"(\d{1,2})"
@@ -255,6 +257,13 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
 
     # --- civil date ---
     y4, y2, cen = first(FT.Y4), first(FT.Y2), first(FT.CENTURY)
+    gy = first(FT.GYEAR)
+    if gy is not None:
+        gv = gi(gy)
+        if gy.tok.digits == 2:
+            gyear = F.when(gv < 69, gv + 2000).otherwise(gv + 1900)
+        else:
+            gyear = gv
     if y4 is not None:
         year = gi(y4)
     elif y2 is not None:
@@ -264,6 +273,10 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
         else:
             # ruby strptime pivot: 00-68 → 20xx, 69-99 → 19xx
             year = F.when(two < 69, two + 2000).otherwise(two + 1900)
+    elif gy is not None:
+        # %G alone approximates the calendar year (exact only with %V+%u,
+        # handled below); documented deviation for week 1 / week 52-53 edges
+        year = gyear
     else:
         year = F.lit(1970)
 
@@ -281,26 +294,58 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
     day = gi(dn) if dn is not None else F.lit(1)
 
     doy = first(FT.DOY)
-    if doy is not None and mn is None and mab is None and mfl is None:
+    wk, wd = first(FT.WEEK), first(FT.WDAY)
+    if (
+        gy is not None and wk is not None and wd is not None
+        and y4 is None and y2 is None and mn is None and mab is None and mfl is None
+    ):
+        # full ISO week date %G-%V-%u: week 1 contains Jan 4; %u is 1=Mon
+        jan4 = _col_days_from_civil(gyear, F.lit(1), F.lit(4))
+        dow_jan4 = F.pmod(jan4 + 3, F.lit(7)) + 1  # 1970-01-01 was a Thursday
+        week1_mon = jan4 - (dow_jan4 - 1)
+        days = week1_mon + (gi(wk) - 1) * 7 + (gi(wd) - 1)
+        valid_date = gi(wk).between(1, 53) & gi(wd).between(1, 7)
+    elif doy is not None and mn is None and mab is None and mfl is None:
         days = _col_days_from_civil(year, F.lit(1), F.lit(1)) + gi(doy) - 1
         valid_date = gi(doy).between(1, 366)
     else:
         days = _col_days_from_civil(year, month, day)
-        valid_date = month.between(1, 12) & day.between(1, 31)
+        # day validated against the ACTUAL month length (ruby strptime
+        # rejects 2015-02-30 / 2015-04-31; days_from_civil would silently
+        # roll them into the next month)
+        leap = ((F.pmod(year, F.lit(4)) == 0) & (F.pmod(year, F.lit(100)) != 0)) | (
+            F.pmod(year, F.lit(400)) == 0
+        )
+        dim = (
+            F.when(month.isin(1, 3, 5, 7, 8, 10, 12), F.lit(31))
+            .when(month.isin(4, 6, 9, 11), F.lit(30))
+            .otherwise(F.when(leap, F.lit(29)).otherwise(F.lit(28)))
+        )
+        valid_date = month.between(1, 12) & day.between(1, dim)
 
     # --- time of day ---
     h24, h12, ampm = first(FT.H24), first(FT.H12), first(FT.AMPM)
+    h24c, h11 = first(FT.H24C), first(FT.H11)
+    if ampm is not None:
+        is_pm = F.lower(F.substring(F.trim(g(ampm)), 1, 1)) == "p"
+        pm_shift = F.when(is_pm, F.lit(12)).otherwise(F.lit(0))
     if h24 is not None:
         hour = gi(h24)
         valid_hour = hour.between(0, 23)
+    elif h24c is not None:
+        # Joda clockhour-of-day: 24 means midnight
+        v = gi(h24c)
+        hour = F.pmod(v, F.lit(24))
+        valid_hour = v.between(1, 24)
     elif h12 is not None:
         h = gi(h12)
-        if ampm is not None:
-            is_pm = F.lower(F.substring(F.trim(g(ampm)), 1, 1)) == "p"
-            hour = F.pmod(h, F.lit(12)) + F.when(is_pm, F.lit(12)).otherwise(F.lit(0))
-        else:
-            hour = F.pmod(h, F.lit(12))
+        hour = F.pmod(h, F.lit(12)) + (pm_shift if ampm is not None else F.lit(0))
         valid_hour = h.between(1, 12)
+    elif h11 is not None:
+        # Joda hour-of-halfday: already 0-11, no clock-hour wrap
+        v = gi(h11)
+        hour = v + (pm_shift if ampm is not None else F.lit(0))
+        valid_hour = v.between(0, 11)
     else:
         hour = F.lit(0)
         valid_hour = F.lit(True)
@@ -360,7 +405,12 @@ def _apply_from_tz_col(naive_sec: Column, from_tz: str) -> Column:
     off = _fixed_offset_seconds(from_tz)
     if off is not None:
         return naive_sec - F.lit(off)
-    # DST zone: resolve wall-clock → instant through the JVM tz database
+    # DST zone: resolve wall-clock → instant through the JVM tz database.
+    # timestamp_seconds→to_utc_timestamp round-trips through the session
+    # zone, so this path (like rendering) requires a UTC session.
+    from .format import _require_utc_session
+
+    _require_utc_session()
     return F.unix_seconds(F.to_utc_timestamp(F.timestamp_seconds(naive_sec), from_tz))
 
 
@@ -449,6 +499,12 @@ def np_parse_format(s: pd.Series, pf: ParsedFormat, from_tz: str) -> tuple[np.nd
         return nanos, invalid | ep.isna().to_numpy()
 
     y4, y2, cen = colnum(FT.Y4), colnum(FT.Y2), colnum(FT.CENTURY)
+    gyn = colnum(FT.GYEAR)
+    gyear = None
+    if gyn is not None:
+        gtok = next(fr.tok for fr in ncols.values() if fr.tok.kind == FT.GYEAR)
+        gv = gyn.fillna(1970).to_numpy(dtype=np.int64)
+        gyear = np.where(gv < 69, gv + 2000, np.where(gv < 100, gv + 1900, gv)) if gtok.digits == 2 else gv
     if y4 is not None:
         year = y4.fillna(1970).to_numpy(dtype=np.int64)
     elif y2 is not None:
@@ -457,6 +513,8 @@ def np_parse_format(s: pd.Series, pf: ParsedFormat, from_tz: str) -> tuple[np.nd
             year = cen.fillna(19).to_numpy(dtype=np.int64) * 100 + two
         else:
             year = np.where(two < 69, two + 2000, two + 1900)
+    elif gyear is not None:
+        year = gyear  # %G alone ≈ calendar year (exact with %V+%u below)
     else:
         year = np.full(n, 1970, dtype=np.int64)
 
@@ -484,28 +542,54 @@ def np_parse_format(s: pd.Series, pf: ParsedFormat, from_tz: str) -> tuple[np.nd
     day = dayn.fillna(1).to_numpy(dtype=np.int64) if dayn is not None else np.ones(n, dtype=np.int64)
 
     doyn = colnum(FT.DOY)
-    if doyn is not None and col(FT.MONTH_NUM) is None and col(FT.MONTH_ABBR) is None and col(FT.MONTH_FULL) is None:
+    wkn, wdn = colnum(FT.WEEK), colnum(FT.WDAY)
+    no_month = col(FT.MONTH_NUM) is None and col(FT.MONTH_ABBR) is None and col(FT.MONTH_FULL) is None
+    if gyear is not None and wkn is not None and wdn is not None and y4 is None and y2 is None and no_month:
+        # full ISO week date %G-%V-%u (week 1 contains Jan 4; %u: 1=Mon)
+        jan4 = _np_days_from_civil(gyear, np.ones(n, dtype=np.int64), np.full(n, 4, dtype=np.int64))
+        dow_jan4 = (jan4 + 3) % 7 + 1
+        week1_mon = jan4 - (dow_jan4 - 1)
+        wkv = wkn.fillna(0).to_numpy(dtype=np.int64)
+        wdv = wdn.fillna(0).to_numpy(dtype=np.int64)
+        days = week1_mon + (wkv - 1) * 7 + (wdv - 1)
+        invalid |= (wkv < 1) | (wkv > 53) | (wdv < 1) | (wdv > 7)
+    elif doyn is not None and no_month:
         doyv = doyn.fillna(1).to_numpy(dtype=np.int64)
         days = _np_days_from_civil(year, np.ones(n, dtype=np.int64), np.ones(n, dtype=np.int64)) + doyv - 1
         invalid |= (doyv < 1) | (doyv > 366)
     else:
         days = _np_days_from_civil(year, month, day)
-        invalid |= (month < 1) | (month > 12) | (day < 1) | (day > 31)
+        leap = ((year % 4 == 0) & (year % 100 != 0)) | (year % 400 == 0)
+        dim = np.where(
+            np.isin(month, (1, 3, 5, 7, 8, 10, 12)),
+            31,
+            np.where(np.isin(month, (4, 6, 9, 11)), 30, np.where(leap, 29, 28)),
+        )
+        invalid |= (month < 1) | (month > 12) | (day < 1) | (day > dim)
 
     h24, h12 = colnum(FT.H24), colnum(FT.H12)
+    h24c, h11 = colnum(FT.H24C), colnum(FT.H11)
     ampm = col(FT.AMPM)
+    pm = (
+        ampm.str.strip().str.lower().str.startswith("p").fillna(False).to_numpy(dtype=bool)
+        if ampm is not None
+        else np.zeros(n, dtype=bool)
+    )
     if h24 is not None:
         hour = h24.fillna(0).to_numpy(dtype=np.int64)
         invalid |= (hour < 0) | (hour > 23)
+    elif h24c is not None:
+        v = h24c.fillna(0).to_numpy(dtype=np.int64)  # clockhour 1-24, 24=midnight
+        invalid |= (v < 1) | (v > 24)
+        hour = v % 24
     elif h12 is not None:
         h = h12.fillna(0).to_numpy(dtype=np.int64)
         invalid |= (h < 1) | (h > 12)
-        pm = (
-            ampm.str.strip().str.lower().str.startswith("p").fillna(False).to_numpy(dtype=bool)
-            if ampm is not None
-            else np.zeros(n, dtype=bool)
-        )
         hour = h % 12 + np.where(pm, 12, 0)
+    elif h11 is not None:
+        v = h11.fillna(0).to_numpy(dtype=np.int64)  # hour-of-halfday 0-11
+        invalid |= (v < 0) | (v > 11)
+        hour = v + np.where(pm, 12, 0)
     else:
         hour = np.zeros(n, dtype=np.int64)
 
@@ -584,6 +668,12 @@ class TimestampParserPlan:
     ):
         if not formats:
             raise ValueError("format list must not be empty")
+        # mixed-dialect lists: the reference tries ONLY the jruby parsers
+        # when any ruby-dialect format is present (TimestampParser.parse —
+        # java formats in a mixed list are silently ignored); mirror that
+        # before any auto_java conversion.
+        if any("%" in f for f in formats):
+            formats = [f for f in formats if "%" in f]
         if parser_mode == "auto_java":
             # dialect lowering: ruby formats converted to Joda (keeping ruby
             # on failed conversion), which CHANGES semantics to the java

@@ -48,6 +48,9 @@ class CommitConflict(Exception):
     pass
 
 
+MAX_COMMIT_RETRIES = 5
+
+
 class IceTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -227,6 +230,14 @@ class IceTable:
                     )
         return entries
 
+    def _remove_files(self, entries: list[dict]) -> None:
+        """Best-effort cleanup of data files orphaned by a lost commit race."""
+        for e in entries:
+            try:
+                os.remove(os.path.join(self.root, e["path"]))
+            except OSError:
+                pass
+
     def append(self, df: DataFrame, batch_id: "int | None" = None, source: str = "default") -> int:
         snap = self.snapshot()
         if batch_id is not None and self._fenced(snap, source, batch_id):
@@ -235,12 +246,24 @@ class IceTable:
         entries = self._write_data_files(
             df, spec["key"], spec["num_buckets"], snap["schema_version"]
         )
-        new = self._child(snap, "append")
-        new["files"] = snap["files"] + entries
-        if batch_id is not None:
-            new["summary"]["batch_ids"][source] = batch_id
-        self._write_snapshot(new)
-        return new["version"]
+        # commit loop: appends never invalidate each other — on a lost
+        # race, re-read the latest snapshot, re-check the fence, and
+        # re-commit the same (immutable) data files on top of it.
+        for _ in range(MAX_COMMIT_RETRIES):
+            new = self._child(snap, "append")
+            new["files"] = snap["files"] + entries
+            if batch_id is not None:
+                new["summary"]["batch_ids"][source] = batch_id
+            try:
+                self._write_snapshot(new)
+                return new["version"]
+            except CommitConflict:
+                snap = self.snapshot()
+                if batch_id is not None and self._fenced(snap, source, batch_id):
+                    self._remove_files(entries)  # a twin already applied it
+                    return snap["version"]
+        self._remove_files(entries)
+        raise CommitConflict(f"append lost {MAX_COMMIT_RETRIES} commit races")
 
     def merge_into(
         self,
@@ -262,49 +285,96 @@ class IceTable:
 
         Returns the committed version (None for an empty batch; unchanged
         version when the batch id is fenced).
+
+        Commit races: losers retry against the re-read snapshot. A
+        concurrent commit that left our touched buckets untouched is
+        disjoint — the same data files re-commit on top of it; one that
+        rewrote a touched bucket invalidates our merge input, so the
+        merge recomputes from the new snapshot (Iceberg's validation +
+        retry rule for copy-on-write).
         """
-        snap = self.snapshot()
-        if batch_id is not None and self._fenced(snap, source, batch_id):
-            return snap["version"]
-        spec = snap["spec"]
-        key, num_buckets = spec["key"], spec["num_buckets"]
-        schema = T.StructType.fromJson(snap["schema"])
-        payload_cols = [f.name for f in schema.fields]
+        for _ in range(MAX_COMMIT_RETRIES):
+            snap = self.snapshot()
+            if batch_id is not None and self._fenced(snap, source, batch_id):
+                return snap["version"]
+            spec = snap["spec"]
+            key, num_buckets = spec["key"], spec["num_buckets"]
+            schema = T.StructType.fromJson(snap["schema"])
+            payload_cols = [f.name for f in schema.fields]
 
-        probe = probe_df if probe_df is not None else updates
-        touched = {
-            r["__bucket"]
-            for r in probe.select(
-                self._bucket_expr(key, num_buckets).alias("__bucket")
-            ).distinct().collect()
+            probe = probe_df if probe_df is not None else updates
+            touched = {
+                r["__bucket"]
+                for r in probe.select(
+                    self._bucket_expr(key, num_buckets).alias("__bucket")
+                ).distinct().collect()
+            }
+            if not touched:
+                return None  # empty batch: no commit (re-delivery is a no-op anyway)
+            target = self._read_buckets(snap, touched)
+
+            # MERGE = (target rows whose key is NOT updated)  ∪  (upserts).
+            # The anti-join needs only the update KEYS — broadcastable, so the
+            # target side is filtered with NO shuffle and NO sort (a full-outer
+            # formulation would force a SortMergeJoin of the wide rows).
+            # At billion-key batch scale disable the broadcast (AQE then picks
+            # a shuffled-hash anti join keyed on doc_id — both sides already
+            # hash-partition on it).
+            upserts = updates.filter(F.col(op_col) != "D").select(*payload_cols)
+            if target is None:
+                merged = upserts
+            else:
+                upd_keys = F.broadcast(updates.select(key))
+                merged = target.join(upd_keys, key, "left_anti").unionByName(upserts)
+
+            entries = self._write_data_files(merged, key, num_buckets, snap["schema_version"])
+            version = self._try_commit_merge(
+                snap, touched, entries, batch_id, source, lineage
+            )
+            if version is not None:
+                return version
+            # touched-bucket overlap with a concurrent commit: data files
+            # are stale — drop them and recompute against the new snapshot
+            self._remove_files(entries)
+        raise CommitConflict(f"merge_into lost {MAX_COMMIT_RETRIES} commit races")
+
+    def _try_commit_merge(
+        self,
+        snap: dict,
+        touched: set,
+        entries: list[dict],
+        batch_id: "int | None",
+        source: str,
+        lineage: "dict | None",
+    ) -> "int | None":
+        """Commit `entries` replacing `touched` buckets; retries across
+        DISJOINT concurrent commits, returns None when a conflicting
+        commit overlapped the touched buckets (caller must recompute)."""
+        base_touched_files = {
+            f["path"] for f in snap["files"] if f["bucket"] in touched
         }
-        if not touched:
-            return None  # empty batch: no commit (re-delivery is a no-op anyway)
-        target = self._read_buckets(snap, touched)
-
-        # MERGE = (target rows whose key is NOT updated)  ∪  (upserts).
-        # The anti-join needs only the update KEYS — broadcastable, so the
-        # target side is filtered with NO shuffle and NO sort (a full-outer
-        # formulation would force a SortMergeJoin of the wide rows).
-        # At billion-key batch scale disable the broadcast (AQE then picks
-        # a shuffled-hash anti join keyed on doc_id — both sides already
-        # hash-partition on it).
-        upserts = updates.filter(F.col(op_col) != "D").select(*payload_cols)
-        if target is None:
-            merged = upserts
-        else:
-            upd_keys = F.broadcast(updates.select(key))
-            merged = target.join(upd_keys, key, "left_anti").unionByName(upserts)
-
-        entries = self._write_data_files(merged, key, num_buckets, snap["schema_version"])
-        new = self._child(snap, "merge")
-        new["files"] = [f for f in snap["files"] if f["bucket"] not in touched] + entries
-        if batch_id is not None:
-            new["summary"]["batch_ids"][source] = batch_id
-        if lineage is not None:
-            new["summary"]["lineage"] = [lineage]
-        self._write_snapshot(new)
-        return new["version"]
+        for _ in range(MAX_COMMIT_RETRIES):
+            new = self._child(snap, "merge")
+            new["files"] = [f for f in snap["files"] if f["bucket"] not in touched] + entries
+            if batch_id is not None:
+                new["summary"]["batch_ids"][source] = batch_id
+            if lineage is not None:
+                new["summary"]["lineage"] = [lineage]
+            try:
+                self._write_snapshot(new)
+                return new["version"]
+            except CommitConflict:
+                latest = self.snapshot()
+                if batch_id is not None and self._fenced(latest, source, batch_id):
+                    self._remove_files(entries)  # a twin already applied it
+                    return latest["version"]
+                latest_touched_files = {
+                    f["path"] for f in latest["files"] if f["bucket"] in touched
+                }
+                if latest_touched_files != base_touched_files:
+                    return None  # overlapping writer won — recompute
+                snap = latest
+        raise CommitConflict(f"merge commit lost {MAX_COMMIT_RETRIES} races")
 
     def evolve_schema(self, new_schema: T.StructType) -> int:
         """Retype-in-place / add-column schema evolution commit. Existing

@@ -10,14 +10,26 @@ Scale design:
   samples.
 * **MinHash + LSH** — the scale path: k permutations via seeded xxhash64
   over shingles (one pass, `transform`/`aggregate`, no UDF), banded into
-  b bands × r rows; candidates = pairs sharing any band bucket (shuffle
-  on band hash — near-linear), then exact-Jaccard verification of the
-  candidate set only. Tested by containment vs the exact baseline.
-* **SimHash** — 64-bit sketch; near-dups = sketches within Hamming
-  distance d, bucketed by 16-bit sub-bands for candidate generation.
+  b bands × r rows; candidates = pairs sharing any band bucket. The band
+  join and the pair dedup run on SLIM (id, band, bucket) rows only — the
+  shingle arrays are joined back once per unique candidate pair (both
+  join-backs key on the same id column, so the array-side exchange is
+  reused / AQE-broadcast; arrays never ride the band-duplication shuffle).
+* **SimHash** — 60-bit sketch from md5-prefix word hashes (reproducible
+  in the SQL oracle), built in ONE array pass (a single `aggregate` with
+  a 60-counter accumulator — not 60 traversals); near-dups = sketches
+  within Hamming distance d. Candidate generation is generalized
+  multi-index banding: split into `bands` sub-bands, a pair at distance
+  ≤ d shares ≥ bands-d of them (pigeonhole), so candidates join on every
+  (bands-d)-subset composite key. bands=4/d=3 gives the classic any-band
+  scheme; at 100 TB raise `bands` (e.g. 8 → C(8,5)=56 composite keys of
+  ~37 bits) to push the bucket keyspace far beyond 2^15 and keep
+  per-bucket membership tiny.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -176,7 +188,6 @@ def minhash_lsh_pairs(
     sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
     banded = sig.select(
         id_col,
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -192,20 +203,30 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket")
+    # candidate generation + pair dedup on SLIM rows only (id, band,
+    # bucket): the shingle arrays must NOT ride the band-duplication
+    # shuffle (bands× array duplication) nor the candidate dedup — at
+    # scale that shuffle dominates. Arrays are joined back once per
+    # unique pair; both join-backs hash-partition `sh` on the same id
+    # column (reused exchange), or AQE broadcasts the small pair side.
+    slim = banded.select(id_col, "band", "bucket")
+    a = slim.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = slim.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    arrs_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    arrs_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = cand.join(arrs_a, "id_a").join(arrs_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / union.cast("double")
-    return cand.select(
+    return pairs.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
@@ -215,49 +236,100 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(col):
-    """64-bit SimHash over word hashes: bit b of the sketch = majority of
-    bit b across xxhash64(word). Pure Catalyst (aggregate over a 64-int
-    accumulator avoided: per-bit popcount via shiftright/bitwise ops)."""
-    ws = F.array_distinct(words(F.lower(col)))
-    hashes = F.transform(ws, lambda w: F.xxhash64(w))
-    n = F.size(ws)
-    def bit_counter(b: int):
-        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
+SIMHASH_BITS = 60  # md5-prefix word hashes are 60-bit (15 hex digits)
 
-    bits = []
-    for b in range(64):
-        ones = F.aggregate(hashes, F.lit(0).cast("long"), bit_counter(b))
-        bits.append(F.when(ones * 2 >= n, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for x in bits[1:]:
-        out = out + x
-    return out
+
+def word_hashes60(col):
+    """Distinct lowercase words → 60-bit md5-prefix hashes. md5-prefix
+    (not xxhash64) so the SQL oracle reproduces the sketch exactly
+    (`('0x' || substring(md5(w),1,15))::BIGINT` in DuckDB)."""
+    ws = F.array_distinct(words(F.lower(col)))
+    return F.transform(ws, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"))
+
+
+def simhash60(hashes):
+    """60-bit SimHash: bit b of the sketch = majority of bit b across the
+    word hashes. ONE traversal of the hash array — a single `aggregate`
+    with an array-of-60-counters accumulator (zip_with add per element) —
+    instead of 60 separate aggregate passes; the plan is one expression
+    node, so whole-stage codegen never sees a 60-branch tree."""
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    zeros = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+    counts = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            weights,
+            lambda a, w: a + F.when(h.bitwiseAND(w) != 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    n = F.size(hashes)
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda c, w: F.when(c * 2 >= n, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
+    bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming; candidate
-    generation by 16-bit sub-band equality (any of 4 bands equal — covers
-    all pairs with distance ≤ 3 by pigeonhole)."""
-    s = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
-    bandcols = [
-        F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
-        for i in range(4)
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation: generalized multi-index banding. The sketch is
+    split into `bands` sub-bands; ≤ max_hamming differing bits corrupt at
+    most max_hamming bands, so a true pair shares ≥ q = bands-max_hamming
+    specific intact bands — it is guaranteed found by joining on every
+    q-subset composite key (C(bands, q) keys per doc, hashed with the
+    subset id). bands=4, d=3 → the classic any-single-band scheme with
+    2^15 buckets; at 100 TB use bands=8 (56 keys of ~37 effective bits,
+    2^37 bucket keyspace) so per-bucket membership stays small and the
+    within-bucket pairing never goes quadratic. Exact Hamming verify on
+    the deduped candidate set; output equals the brute-force all-pairs
+    filter (the SQL oracle computes it that way)."""
+    assert bands > max_hamming, "need more bands than allowed bit errors"
+    q = bands - max_hamming
+    combos = list(combinations(range(bands), q))
+    band_bits = SIMHASH_BITS // bands
+    mask = (1 << band_bits) - 1
+
+    s = (
+        df.select(F.col(id_col), word_hashes60(F.col(text_col)).alias("wh"))
+        .filter(F.size("wh") > 0)
+        .select(id_col, simhash60(F.col("wh")).alias("sim"))
+    )
+    bandvals = [
+        F.shiftrightunsigned(F.col("sim"), band_bits * i).bitwiseAND(F.lit(mask))
+        for i in range(bands)
     ]
-    s = s.select(id_col, "sim", *bandcols)
-    pairs = None
-    for i in range(4):
-        a = s.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), F.col(f"b{i}").alias("bk"))
-        b = s.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), F.col(f"b{i}").alias("bk"))
-        p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sim_a", "sim_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    keys = F.array(
+        *[
+            F.xxhash64(F.lit(ci), *[bandvals[i] for i in combo])
+            for ci, combo in enumerate(combos)
+        ]
+    )
+    # sketches are scalars (16 bytes/pair) — cheap to carry through the
+    # candidate shuffle, so no join-back stage is needed (unlike minhash,
+    # whose shingle ARRAYS must stay out of the band shuffle)
+    slim = s.select(id_col, "sim", F.explode(keys).alias("bk"))
+    a = slim.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "bk")
+    b = slim.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "bk")
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

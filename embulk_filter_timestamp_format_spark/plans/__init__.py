@@ -1,4 +1,4 @@
 """Config model, validation, schema retype, and the projection planner."""
 
 from .config import ColumnConfig, TaskConfig, ConfigError  # noqa: F401
-from .apply import apply_task, build_output_schema, invalid_filter  # noqa: F401
+from .apply import apply_task, build_output_schema, invalid_condition, invalid_filter  # noqa: F401

@@ -171,6 +171,9 @@ class CompiledProjection:
     cache, ColumnCaster.java:37-58)."""
 
     def __init__(self, task: TaskConfig, schema: T.StructType):
+        from ..functions.format import _require_utc_session
+
+        _require_utc_session()
         validate_task(task, schema)
         self.task = task
         self.schema = schema
@@ -250,15 +253,10 @@ def _apply_arrow(
     return df.mapInPandas(transform, schema=out_schema)
 
 
-def invalid_filter(df_in: DataFrame, task: TaskConfig) -> "DataFrame | None":
-    """Rows that would fail parsing (error policy, ColumnVisitorImpl.java:79-99).
-
-    Returns a DataFrame of offending rows for string→X configured columns
-    (non-null input that parses to NULL), or None when no column can fail.
-    With stop_on_invalid_record=True the caller counts these BEFORE
-    committing a batch (abort-before-commit preserves exactly-once).
-    """
-    schema = df_in.schema
+def invalid_condition(schema: T.StructType, task: TaskConfig):
+    """Boolean Column: row has a configured string column whose non-null
+    value fails every parse format (the reference's per-record invalid
+    test, ColumnVisitorImpl.java:79-99). None when no column can fail."""
     casts, _ = _compile_plans(task, schema)
     conds = []
     for name, plan in casts.items():
@@ -270,4 +268,16 @@ def invalid_filter(df_in: DataFrame, task: TaskConfig) -> "DataFrame | None":
     cond = conds[0]
     for c in conds[1:]:
         cond = cond | c
-    return df_in.filter(cond)
+    return cond
+
+
+def invalid_filter(df_in: DataFrame, task: TaskConfig) -> "DataFrame | None":
+    """Rows that would fail parsing (error policy, ColumnVisitorImpl.java:79-99).
+
+    Returns a DataFrame of offending rows for string→X configured columns
+    (non-null input that parses to NULL), or None when no column can fail.
+    With stop_on_invalid_record=True the caller counts these BEFORE
+    committing a batch (abort-before-commit preserves exactly-once).
+    """
+    cond = invalid_condition(df_in.schema, task)
+    return None if cond is None else df_in.filter(cond)

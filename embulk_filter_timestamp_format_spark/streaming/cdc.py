@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lake import IceTable
-from ..plans import TaskConfig, apply_task, invalid_filter
+from ..plans import TaskConfig, apply_task, invalid_condition, invalid_filter
 from ..sources.binlog import BINLOG_SCHEMA
 
 # target table: pre-tokenized training sequences + engine-managed time cols
@@ -117,6 +117,9 @@ class InvalidRecordError(RuntimeError):
     pass
 
 
+_UNSET = object()  # sentinel (an 'if col == "x"' would build a Column)
+
+
 class CdcPipeline:
     """Binds a source dir, an IceTable target, and the coercion task."""
 
@@ -129,6 +132,11 @@ class CdcPipeline:
         salt_buckets: int = 0,
         stop_on_invalid_record: bool = False,
         metrics_path: "str | None" = None,
+        skew_detect: bool = True,
+        skew_threshold: float = 0.05,
+        skew_sample_rows: int = 200_000,
+        record_invalid: bool = True,
+        wholestage_codegen: bool = False,
     ):
         self.spark = spark
         self.table = table
@@ -138,8 +146,28 @@ class CdcPipeline:
         self.salt_buckets = salt_buckets
         self.metrics_path = metrics_path
         self.metrics: list[dict] = []
+        # per-batch count-based hot-key detection (SURVEY §4): when the
+        # estimated share of the hottest doc_id exceeds skew_threshold,
+        # the dedup aggregation runs with an explicit salt stage sized to
+        # the shuffle parallelism. salt_buckets > 0 forces it statically.
+        self.skew_detect = skew_detect
+        self.skew_threshold = skew_threshold
+        self.skew_sample_rows = skew_sample_rows
+        # record per-batch invalid-record counts in lineage (the
+        # observability twin of the reference's per-value WARN,
+        # ColumnVisitorImpl.java:90-97); also serves stop_on_invalid_record
+        self.record_invalid = record_invalid or stop_on_invalid_record
+        # Whole-stage codegen is DISABLED inside apply_batch by default:
+        # the multi-format parse cascade compiles to a >64 KB method under
+        # WSCG fusion (WSCG cannot split expression code whose inputs are
+        # locals), so every batch paid a failed janino compile (~1-2 s of
+        # serial driver floor) and then ran interpreted anyway. With WSCG
+        # off, each operator still gets (splittable) per-operator codegen;
+        # measured 2M-event batches: 10.5 s vs 14.0 s, zero janino errors.
+        self.wholestage_codegen = wholestage_codegen
         self._proj = None
         self._out_cols = None
+        self._invalid_cond = _UNSET
 
     # ------------------------------------------------------------------
 
@@ -167,36 +195,80 @@ class CdcPipeline:
             ]
         return self._proj.apply(batch_df).select(*self._out_cols)
 
+    def _detect_skew(self, batch_df: DataFrame, events: int) -> int:
+        """Count-based hot-key detection on a bounded doc_id sample: the
+        estimated hottest-key share ≥ skew_threshold engages the salted
+        dedup path, sized to the shuffle parallelism. Cost: one
+        column-pruned scan of doc_id (sampled) + a key-count aggregate."""
+        frac = min(1.0, self.skew_sample_rows / max(events, 1))
+        keys = batch_df.select("doc_id")
+        if frac < 1.0:
+            keys = keys.sample(fraction=frac, seed=7)
+        top = keys.groupBy("doc_id").count().agg(
+            F.max("count").alias("hot"), F.sum("count").alias("total")
+        ).collect()[0]
+        if not top["total"] or top["hot"] / top["total"] < self.skew_threshold:
+            return 0
+        return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> "int | None":
         """foreachBatch body. Returns committed snapshot version."""
-        if self.table.last_batch_id(self.source_name) is not None and batch_id <= self.table.last_batch_id(self.source_name):
-            return None  # fenced duplicate delivery
+        if self.wholestage_codegen:
+            return self._apply_batch(batch_df, batch_id)
+        prev = self.spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        self.spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            return self._apply_batch(batch_df, batch_id)
+        finally:
+            self.spark.conf.set("spark.sql.codegen.wholeStage", prev)
 
-        if self.task.stop_on_invalid_record:
-            bad = invalid_filter(batch_df, self.task)
-            if bad is not None:
-                n_bad = bad.count()
-                if n_bad:
-                    raise InvalidRecordError(
-                        f"batch {batch_id}: {n_bad} unparseable record(s); aborting before commit"
-                    )
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> "int | None":
+        last = self.table.last_batch_id(self.source_name)
+        if last is not None and batch_id <= last:
+            return None  # fenced duplicate delivery
 
         t0 = time.time()
         # batch lineage stats from the RAW batch: a column-pruned scan
-        # (parquet footer stats make this nearly free) — never executes the
-        # parse plan. (An Observation would be free-er, but Observation.get
-        # never resolves for foreachBatch micro-batch lineage.)
-        stats = batch_df.agg(
+        # (parquet footer stats make this nearly free). The invalid-record
+        # count folds into the SAME pass (it alone forces the parse of the
+        # configured string columns) — it feeds lineage observability AND
+        # stop_on_invalid_record, so the abort path costs no extra scan.
+        # (An Observation would be free-er, but Observation.get never
+        # resolves for foreachBatch micro-batch lineage.)
+        aggs = [
             F.count(F.lit(1)).alias("events"),
             F.min("offset").alias("min_offset"),
             F.max("offset").alias("max_offset"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
-        ).collect()[0]
+        ]
+        stats_in = batch_df
+        if self.record_invalid:
+            if self._invalid_cond is _UNSET:
+                self._invalid_cond = invalid_condition(batch_df.schema, self.task)
+            if self._invalid_cond is not None:
+                # the parse-cascade flag is STAGED in a projection (where
+                # codegen splits big expressions into many methods) — inlined
+                # directly under the hash aggregate it exceeds janino's
+                # 64 KB method limit and silently de-optimizes the stage
+                stats_in = batch_df.select(
+                    "offset", "op", self._invalid_cond.cast("int").alias("__bad")
+                )
+                aggs.append(F.sum("__bad").alias("invalid"))
+        stats = stats_in.agg(*aggs).collect()[0]
         if stats["events"] == 0:
             return None
+        n_bad = stats["invalid"] if "invalid" in stats.asDict() else 0
+        if self.task.stop_on_invalid_record and n_bad:
+            raise InvalidRecordError(
+                f"batch {batch_id}: {n_bad} unparseable record(s); aborting before commit"
+            )
+
+        salt = self.salt_buckets
+        if self.skew_detect and not salt:
+            salt = self._detect_skew(batch_df, stats["events"])
 
         coerced = self.coerce(batch_df)
-        latest = dedup_latest(coerced, salt_buckets=self.salt_buckets)
+        latest = dedup_latest(coerced, salt_buckets=salt)
         t_dedup = time.time()
 
         updates = latest.select(
@@ -217,6 +289,8 @@ class CdcPipeline:
         if version is None:
             return None  # empty batch: nothing merged, nothing committed
         lineage.update(stats.asDict())
+        lineage.setdefault("invalid", 0)
+        lineage["salt_buckets"] = salt
         lineage["snapshot_version"] = version
         lineage["dedup_sec"] = round(t_dedup - t0, 3)
         lineage["merge_sec"] = round(time.time() - t_dedup, 3)

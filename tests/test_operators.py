@@ -76,6 +76,40 @@ def test_simhash_invariants(spark, docs):
     assert len(out) == 1 and out[0]["hamming"] == 0
 
 
+def test_simhash_multi_index_banding_equivalent(spark, docs):
+    """Candidate generation is complete for any bands > max_hamming
+    (pigeonhole): bands=6 (C(6,3)=20 composite keys — the 100 TB shape)
+    must produce EXACTLY the bands=4 result set."""
+    sample = docs.limit(150)
+    base = {(r["id_a"], r["id_b"], r["hamming"]) for r in D.simhash_pairs(sample, max_hamming=3, bands=4).collect()}
+    wide = {(r["id_a"], r["id_b"], r["hamming"]) for r in D.simhash_pairs(sample, max_hamming=3, bands=6).collect()}
+    assert base == wide
+
+
+def test_simhash_matches_bruteforce(spark):
+    """The banded candidate path equals the all-pairs Hamming filter."""
+    rows = [(i, f"shared common words alpha beta gamma token{i % 3}") for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_pairs(df, max_hamming=3).collect()
+    }
+    s = df.select("doc_id", D.simhash60(D.word_hashes60(F.col("text"))).alias("sim"))
+    a, b = s.alias("a"), s.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------

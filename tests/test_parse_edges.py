@@ -1,0 +1,208 @@
+"""Round-2 fidelity edges: strict civil-date validation, mixed-dialect
+cascade restriction, Joda k/K hour letters, ruby %G/%g ISO week year,
+%Z zone-name rendering, JSON non-castable leaf preservation.
+
+Reference anchors: TimestampParser.java:76-121 (Joda letters accepted,
+jruby-only cascade for ruby lists), TimestampFormatter.java:115-134
+(zone names), JsonCaster.java:46-110 (non-castable values unchanged).
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_filter_timestamp_format_spark.functions.format import TimestampFormatterPlan
+from embulk_filter_timestamp_format_spark.functions.parse import TimestampParserPlan
+
+
+def _parse_catalyst(spark, parser, values):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    return [r["n"] for r in df.select(parser.parse_expr(F.col("s")).alias("n")).collect()]
+
+
+def _format_catalyst(spark, fmt, nanos_values):
+    df = spark.createDataFrame([(v,) for v in nanos_values], "n long")
+    return [r["s"] for r in df.select(fmt.format_expr(F.col("n")).alias("s")).collect()]
+
+
+# ---------------------------------------------------------------------------
+# strict civil-date validation (ruby strptime rejects impossible dates)
+# ---------------------------------------------------------------------------
+
+INVALID_DATES = ["2015-02-30", "2015-04-31", "2015-02-29", "2015-13-01", "2015-00-10"]
+VALID_DATES = {"2016-02-29": 1456704000, "2015-01-31": 1422662400}
+
+
+def test_invalid_dates_rejected_catalyst(spark):
+    p = TimestampParserPlan(["%Y-%m-%d"], "UTC")
+    got = _parse_catalyst(spark, p, INVALID_DATES + list(VALID_DATES))
+    assert got[: len(INVALID_DATES)] == [None] * len(INVALID_DATES)
+    for v, expect_sec in zip(got[len(INVALID_DATES):], VALID_DATES.values()):
+        assert v == expect_sec * 1_000_000_000
+
+
+def test_invalid_dates_rejected_numpy():
+    p = TimestampParserPlan(["%Y-%m-%d"], "UTC")
+    nanos, valid = p.parse_np(pd.Series(INVALID_DATES + list(VALID_DATES)))
+    assert not valid[: len(INVALID_DATES)].any()
+    assert valid[len(INVALID_DATES):].all()
+    assert list(nanos[len(INVALID_DATES):]) == [s * 1_000_000_000 for s in VALID_DATES.values()]
+
+
+# ---------------------------------------------------------------------------
+# mixed-dialect lists: java formats silently ignored when any ruby present
+# ---------------------------------------------------------------------------
+
+def test_mixed_dialect_cascade_restricts_to_ruby():
+    p = TimestampParserPlan(["%Y-%m-%d", "yyyy/MM/dd"], "UTC")
+    assert p.formats == ["%Y-%m-%d"]
+    nanos, valid = p.parse_np(pd.Series(["2015/01/02"]))
+    assert not valid[0]  # java format would have matched, but is ignored
+    # all-java list untouched
+    pj = TimestampParserPlan(["yyyy/MM/dd", "yyyy-MM-dd"], "UTC")
+    assert len(pj.formats) == 2
+
+
+# ---------------------------------------------------------------------------
+# Joda k (clockhour-of-day 1-24) / K (hour-of-halfday 0-11)
+# ---------------------------------------------------------------------------
+
+def test_joda_clockhour_parse_both_engines(spark):
+    p = TimestampParserPlan(["yyyy-MM-dd kk:mm"], "UTC")
+    vals = ["2015-01-02 24:30", "2015-01-02 01:30", "2015-01-02 00:30", "2015-01-02 25:00"]
+    nanos, valid = p.parse_np(pd.Series(vals))
+    assert valid.tolist() == [True, True, False, False]
+    assert nanos[0] == 1420158600 * 1_000_000_000  # 2015-01-02 00:30 UTC
+    assert nanos[1] == 1420162200 * 1_000_000_000
+    got = _parse_catalyst(spark, p, vals)
+    assert got == [1420158600 * 10**9, 1420162200 * 10**9, None, None]
+
+
+def test_joda_halfday_hour_parse(spark):
+    p = TimestampParserPlan(["yyyy-MM-dd KK:mm a"], "UTC")
+    vals = ["2015-01-02 00:30 AM", "2015-01-02 00:30 PM", "2015-01-02 11:30 PM"]
+    nanos, valid = p.parse_np(pd.Series(vals))
+    assert valid.all()
+    assert nanos[0] == 1420158600 * 10**9  # 00:30
+    assert nanos[1] == 1420201800 * 10**9  # 12:30
+    assert nanos[2] == 1420241400 * 10**9  # 23:30
+    assert _parse_catalyst(spark, p, vals) == [int(x) for x in nanos]
+
+
+def test_joda_clockhour_format(spark):
+    fmt = TimestampFormatterPlan("yyyy-MM-dd kk:mm", "UTC")
+    midnight = 1420158600 * 10**9  # 2015-01-02 00:30
+    noonish = 1420201800 * 10**9  # 2015-01-02 12:30
+    assert _format_catalyst(spark, fmt, [midnight, noonish]) == [
+        "2015-01-02 24:30",
+        "2015-01-02 12:30",
+    ]
+    np_out = fmt.format_np(np.array([midnight, noonish], dtype=np.int64))
+    assert list(np_out) == ["2015-01-02 24:30", "2015-01-02 12:30"]
+    fmtk = TimestampFormatterPlan("KK:mm a", "UTC")
+    assert _format_catalyst(spark, fmtk, [midnight, noonish]) == ["00:30 AM", "00:30 PM"]
+    assert list(fmtk.format_np(np.array([midnight, noonish], dtype=np.int64))) == [
+        "00:30 AM",
+        "00:30 PM",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# ruby %G/%g ISO week-based year
+# ---------------------------------------------------------------------------
+
+def test_iso_week_year_format(spark):
+    # 2016-01-01 is ISO 2015-W53-5; 2014-12-29 is ISO 2015-W01-1
+    fmt = TimestampFormatterPlan("%G-%V %g", "UTC")
+    t1 = 1451606400 * 10**9  # 2016-01-01
+    t2 = 1419811200 * 10**9  # 2014-12-29
+    assert _format_catalyst(spark, fmt, [t1, t2]) == ["2015-53 15", "2015-01 15"]
+    assert list(fmt.format_np(np.array([t1, t2], dtype=np.int64))) == [
+        "2015-53 15",
+        "2015-01 15",
+    ]
+
+
+def test_iso_week_date_parse_roundtrip(spark):
+    p = TimestampParserPlan(["%G %V %u"], "UTC")
+    vals = ["2015 53 5", "2015 01 1", "2015 54 1", "2015 01 8"]
+    nanos, valid = p.parse_np(pd.Series(vals))
+    assert valid.tolist() == [True, True, False, False]
+    assert nanos[0] == 1451606400 * 10**9  # 2016-01-01
+    assert nanos[1] == 1419811200 * 10**9  # 2014-12-29
+    got = _parse_catalyst(spark, p, vals)
+    assert got == [1451606400 * 10**9, 1419811200 * 10**9, None, None]
+
+
+# ---------------------------------------------------------------------------
+# %Z renders real zone names for DST zones
+# ---------------------------------------------------------------------------
+
+def test_z_zone_names_dst(spark):
+    fmt = TimestampFormatterPlan("%Y-%m-%d %H:%M %Z", "America/New_York")
+    winter = 1421159400 * 10**9  # 2015-01-13 14:30 UTC → 09:30 EST
+    summer = 1436796000 * 10**9  # 2015-07-13 14:00 UTC → 10:00 EDT
+    assert _format_catalyst(spark, fmt, [winter, summer]) == [
+        "2015-01-13 09:30 EST",
+        "2015-07-13 10:00 EDT",
+    ]
+    assert list(fmt.format_np(np.array([winter, summer], dtype=np.int64))) == [
+        "2015-01-13 09:30 EST",
+        "2015-07-13 10:00 EDT",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# JSON: non-castable leaves (boolean/null) preserved, not nulled
+# ---------------------------------------------------------------------------
+
+def test_json_non_castable_leaf_preserved():
+    from embulk_filter_timestamp_format_spark.functions.cast import CastPlan
+    from embulk_filter_timestamp_format_spark.functions.jsonpath import JsonRewritePlan
+    from embulk_filter_timestamp_format_spark.functions.units import TimestampUnit
+
+    # target path is relative to the root JSON column ("props"): the
+    # column's JSON text holds {"k": ...}
+    plan = JsonRewritePlan(
+        [
+            (
+                "$.props.k",
+                CastPlan(
+                    "string",
+                    "long",
+                    parser=TimestampParserPlan(["%Y-%m-%d"], "UTC"),
+                    formatter=TimestampFormatterPlan("%Y-%m-%d", "UTC"),
+                    to_unit=TimestampUnit.SECOND,
+                ),
+            )
+        ]
+    )
+    rows = pd.Series(
+        [
+            json.dumps({"k": True, "other": 1}),
+            json.dumps({"k": None}),
+            json.dumps({"k": "2015-01-02"}),
+        ]
+    )
+    out = [json.loads(x) for x in plan.rewrite_series(rows)]
+    assert out[0]["k"] is True  # boolean untouched (JsonCaster parity)
+    assert out[0]["other"] == 1
+    assert out[1]["k"] is None
+    assert out[2]["k"] == 1420156800  # string actually cast
+
+
+# ---------------------------------------------------------------------------
+# UTC session requirement is enforced at plan-build time
+# ---------------------------------------------------------------------------
+
+def test_non_utc_session_rejected(spark):
+    fmt = TimestampFormatterPlan("%Y-%m-%d", "UTC")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        with pytest.raises(ValueError, match="session.timeZone"):
+            fmt.format_expr(F.lit(0).cast("long"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
