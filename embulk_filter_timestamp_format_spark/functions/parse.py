@@ -312,15 +312,22 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
         days = _col_days_from_civil(year, month, day)
         # day validated against the ACTUAL month length (ruby strptime
         # rejects 2015-02-30 / 2015-04-31; days_from_civil would silently
-        # roll them into the next month)
-        leap = ((F.pmod(year, F.lit(4)) == 0) & (F.pmod(year, F.lit(100)) != 0)) | (
-            F.pmod(year, F.lit(400)) == 0
-        )
-        dim = (
-            F.when(month.isin(1, 3, 5, 7, 8, 10, 12), F.lit(31))
-            .when(month.isin(4, 6, 9, 11), F.lit(30))
-            .otherwise(F.when(leap, F.lit(29)).otherwise(F.lit(28)))
-        )
+        # roll them into the next month). BRANCH-FREE on purpose: a
+        # when-chain here re-references the month/year field subtrees in
+        # conditional contexts, which defeats subexpression elimination —
+        # the whole regex extraction re-executes per reference (measured
+        # 5× parse slowdown). Array-literal lookup + arithmetic leap
+        # adjustment keeps every field reference CSE-eligible; month
+        # outside 1..12 → try_element_at yields NULL → invalid.
+        month_days = F.array(*[F.lit(d) for d in (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)])
+        leap = (
+            (F.pmod(year, F.lit(4)) == 0)
+            & ((F.pmod(year, F.lit(100)) != 0) | (F.pmod(year, F.lit(400)) == 0))
+        ).cast("int")
+        # clamp the lookup index arithmetically (element_at throws on 0
+        # even in its try_ variant); out-of-range months fail between()
+        safe_m = F.greatest(F.least(month, F.lit(12)), F.lit(1))
+        dim = F.element_at(month_days, safe_m) + leap * (month == 2).cast("int")
         valid_date = month.between(1, 12) & day.between(1, dim)
 
     # --- time of day ---
@@ -373,7 +380,7 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
         utc_sec = _apply_from_tz_col(naive_sec, from_tz)
 
     nanos = utc_sec * F.lit(1_000_000_000) + frac_nanos
-    ok = matched & valid_date & valid_time
+    ok = valid_date & valid_time & matched
     return F.when(ok, nanos).otherwise(F.lit(None).cast("long"))
 
 

@@ -38,17 +38,21 @@ from .text import fingerprint_md5, normalized, words
 
 
 def shingles(col, n: int = 3):
-    """Distinct word n-grams (space-joined), lowercase-normalized."""
+    """Distinct word n-grams (space-joined), lowercase-normalized.
+
+    Built with ``zip_with`` over shifted slices of the word array — the
+    arrays are HOF *inputs*, evaluated once. (A lambda that indexes the
+    outer word array re-evaluates the whole split per gram element:
+    measured 20× slower.) zip_with pads the shorter side with null;
+    null-propagating concat turns incomplete trailing grams into nulls,
+    filtered before distinct."""
     ws = words(F.lower(col))
-    k = F.size(ws) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j).cast("int")) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    grams = ws
+    for j in range(1, n):
+        shifted = F.slice(ws, j + 1, F.greatest(F.size(ws) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
+    return F.coalesce(grams, F.array().cast("array<string>"))
 
 
 def shingle_keys(col, n: int = 3):
@@ -158,13 +162,17 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(sh_col, num_hashes: int = 32, seed: int = 7):
-    """k min-hashes over the shingle array, one xxhash64 pass per perm —
-    array<long> signature, pure Catalyst."""
-    def perm(i: int):
-        return lambda s: F.xxhash64(s, F.lit(seed + i))
-
-    return F.array(
-        *[F.array_min(F.transform(sh_col, perm(i))) for i in range(num_hashes)]
+    """k min-hashes over the shingle array in ONE traversal: a single
+    `aggregate` whose accumulator is the array of running minima, updated
+    per element with `zip_with` against the seed array — instead of k
+    separate array_min passes (k× the traversals and k expression nodes).
+    Pure Catalyst, array<long> signature."""
+    seeds = F.array(*[F.lit(seed + i) for i in range(num_hashes)])
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        sh_col,
+        init,
+        lambda acc, s: F.zip_with(acc, seeds, lambda a, sd: F.least(a, F.xxhash64(s, sd))),
     )
 
 
