@@ -435,6 +435,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, cos_sim FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
+        # minhash_lsh uses md5-derived permutations and raw string band
+        # buckets, so the WHOLE pipeline — signature, banding, candidate
+        # join, exact-Jaccard verify — is reproduced in SQL.
+        "minhash_lsh": f"""
+            WITH base AS (SELECT doc_id, list_transform({_WORDS}, x -> lower(x)) AS w
+                          FROM documents),
+            shf AS (SELECT doc_id, s FROM
+                      (SELECT doc_id, {_SHINGLE_KEYS} AS s FROM base)
+                    WHERE len(s) > 0),
+            sig AS (SELECT doc_id,
+                     list_transform(range(0, 32),
+                       i -> list_min(list_transform(s,
+                            x -> (('0x' || substring(md5((i + 7)::VARCHAR || ':' || x::VARCHAR), 1, 15))::BIGINT)))) AS g
+                    FROM shf),
+            bands AS (SELECT doc_id, b,
+                       array_to_string(list_slice(g, b*4 + 1, b*4 + 4), ',') AS bucket
+                      FROM sig, range(0, 8) t(b)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                     FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+                     WHERE a.doc_id < c.doc_id)
+            SELECT id_a, id_b,
+                   round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                         / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+            FROM cand JOIN shf sa ON sa.doc_id = id_a JOIN shf sb ON sb.doc_id = id_b
+            WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+                  / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8""",
         # simhash candidate generation covers ALL pairs at distance ≤ d
         # (multi-index pigeonhole), so the result equals the brute-force
         # all-pairs Hamming filter — which IS the oracle below.
@@ -445,7 +471,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
-        # minhash_lsh / ann_lsh_topk / multimodal_features:
-        # candidate-generation & binary ops — verified in pytest by
-        # containment vs exact baselines (rows-only driver check).
+        # ann_lsh_topk / multimodal_features: candidate-generation &
+        # binary ops — verified in pytest by containment/recall vs exact
+        # baselines (rows-only driver check).
     }

@@ -65,6 +65,26 @@ spark.stop()
 """
 
 
+GENERATOR = r"""
+import os, sys
+from pyspark.sql import SparkSession
+
+binlog_dir, num_events = sys.argv[1], int(sys.argv[2])
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "16g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from embulk_filter_timestamp_format_spark.sources.binlog import generate_binlog
+
+generate_binlog(spark, binlog_dir, num_events,
+                num_docs=max(num_events // 10, 1000), num_chunks=4)
+spark.stop()
+"""
+
+
 def main():
     num_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -73,26 +93,24 @@ def main():
     with open(runner_path, "w") as f:
         f.write(RUNNER)
 
+    gen_path = os.path.join(work, "gen.py")
+    with open(gen_path, "w") as f:
+        f.write(GENERATOR)
+
     try:
-        # generate the shared input once (32 cores; generation is not timed)
-        from pyspark.sql import SparkSession
-
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.ui.enabled", "false")
-            .config("spark.driver.memory", "16g")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        sys.path.insert(0, repo)
-        from embulk_filter_timestamp_format_spark.sources.binlog import generate_binlog
-
-        binlog_dir = os.path.join(work, "binlog")
-        generate_binlog(
-            spark, binlog_dir, num_events, num_docs=max(num_events // 10, 1000),
-            num_chunks=4,
-        )
-        spark.stop()
+        # generate the shared input once (32 cores; generation is not
+        # timed). In a SUBPROCESS: a stopped in-process SparkSession
+        # leaves its JVM attached to this driver for the whole benchmark,
+        # polluting every timed run (observed ~50-120% of a core).
+        # SPARK_GRAFT_SCALING_BINLOG reuses an existing generated input.
+        env = dict(os.environ, PYTHONPATH=repo)
+        binlog_dir = os.environ.get("SPARK_GRAFT_SCALING_BINLOG")
+        if not binlog_dir:
+            binlog_dir = os.path.join(work, "binlog")
+            subprocess.run(
+                [sys.executable, gen_path, binlog_dir, str(num_events)],
+                env=env, cwd=repo, check=True,
+            )
 
         # Alternate the two levels and keep the best run per level: the box
         # has bursty co-tenant contention, so a single timing per level can
@@ -129,20 +147,14 @@ def main():
         }
         print(json.dumps(summary))
 
+        # append the raw record (BENCH/BASELINE.md holds the curated
+        # narrative — phase decomposition, host-ceiling calibration)
         os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
-        with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
+        with open(os.path.join(repo, "BENCH", "SCALING_RUNS.md"), "a") as f:
             f.write(
-                "# BENCH/BASELINE — CDC replay scaling evidence\n\n"
-                "Same job (synthetic binlog replay → tsfmt coercion → dedup-latest →\n"
-                "batch-fenced MERGE into the icetable), same input, two parallelism\n"
-                "levels (the sandbox stand-in for N vs 4N executors per the north rule).\n\n"
-                f"| quantity | value |\n| --- | --- |\n"
-                f"| events | {num_events:,} |\n"
-                f"| throughput @ local[8] | {t8:,.0f} events/s |\n"
-                f"| throughput @ local[32] | {t32:,.0f} events/s |\n"
-                f"| scaling efficiency t32/(4·t8) | **{eff:.3f}** (target ≥ 0.8) |\n"
-                f"| final rows equal across runs | {summary['rows_equal']} |\n\n"
-                f"Raw: `{json.dumps(results)}`\n"
+                f"- events={num_events:,} t8={t8:,.0f}/s t32={t32:,.0f}/s "
+                f"eff={eff:.3f} rows_equal={summary['rows_equal']} "
+                f"raw=`{json.dumps(results)}`\n"
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -161,18 +161,34 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(sh_col, num_hashes: int = 32, seed: int = 7):
+def minhash_signature(sh_col, num_hashes: int = 32, seed: int = 7, hash_scheme: str = "md5"):
     """k min-hashes over the shingle array in ONE traversal: a single
     `aggregate` whose accumulator is the array of running minima, updated
     per element with `zip_with` against the seed array — instead of k
     separate array_min passes (k× the traversals and k expression nodes).
-    Pure Catalyst, array<long> signature."""
-    seeds = F.array(*[F.lit(seed + i) for i in range(num_hashes)])
+    Pure Catalyst, array<long> signature.
+
+    hash_scheme:
+    * ``md5`` (default) — permutation i hashes shingle s as the 60-bit
+      md5 prefix of ``"{seed+i}:{s}"``; reproducible in the SQL oracle
+      (DuckDB md5), so the WHOLE LSH output is oracle-checked.
+    * ``xxhash`` — seeded xxhash64; ~2-3× cheaper per element (no hex
+      string round-trip) — the knob for 100 TB runs where the sketch
+      stage dominates and the oracle isn't in the loop.
+    """
+    if hash_scheme == "xxhash":
+        seeds = F.array(*[F.lit(seed + i) for i in range(num_hashes)])
+        perm = lambda s, sd: F.xxhash64(s, sd)  # noqa: E731
+    else:
+        seeds = F.array(*[F.lit(f"{seed + i}:") for i in range(num_hashes)])
+        perm = lambda s, sd: F.conv(  # noqa: E731
+            F.substring(F.md5(F.concat(sd, s.cast("string"))), 1, 15), 16, 10
+        ).cast("long")
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
     return F.aggregate(
         sh_col,
         init,
-        lambda acc, s: F.zip_with(acc, seeds, lambda a, sd: F.least(a, F.xxhash64(s, sd))),
+        lambda acc, s: F.zip_with(acc, seeds, lambda a, sd: F.least(a, perm(s, sd))),
     )
 
 
@@ -185,28 +201,39 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 7,
+    hash_scheme: str = "md5",
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band bucket, then exact-Jaccard
     verified at `threshold`. Near-linear: the only wide operations are the
-    band-bucket shuffle and the candidate join."""
+    band-bucket shuffle and the candidate join.
+
+    With the default md5 hash scheme the ENTIRE output (candidate
+    generation included) is reproducible in DuckDB SQL — see the
+    minhash_lsh oracle in __spark_entry__. hash_scheme='xxhash' is the
+    cheaper 100 TB variant (same plan, non-oracle hashes, 8-byte hashed
+    bucket keys instead of strings)."""
     rows = num_hashes // bands
     sh = df.select(
         F.col(id_col), shingle_keys(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    sig = sh.withColumn(
+        "sig", minhash_signature(F.col("sh"), num_hashes, seed, hash_scheme)
+    )
+
+    def bucket_key(bi: int):
+        key = F.concat_ws(
+            ",", *[F.col("sig")[bi * rows + j].cast("string") for j in range(rows)]
+        )
+        # oracle scheme keeps the raw string key (DuckDB-reproducible);
+        # the scale scheme hashes it to 8 bytes to slim the shuffle
+        return F.xxhash64(key) if hash_scheme == "xxhash" else key
+
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[bi * rows + j].cast("string") for j in range(rows)]
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), bucket_key(bi).alias("bucket"))
                     for bi in range(bands)
                 ]
             )

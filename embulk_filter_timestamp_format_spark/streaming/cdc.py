@@ -135,6 +135,7 @@ class CdcPipeline:
         skew_detect: bool = True,
         skew_threshold: float = 0.05,
         skew_sample_rows: int = 200_000,
+        skew_probe_interval: int = 8,
         record_invalid: bool = True,
         wholestage_codegen: bool = False,
     ):
@@ -153,6 +154,13 @@ class CdcPipeline:
         self.skew_detect = skew_detect
         self.skew_threshold = skew_threshold
         self.skew_sample_rows = skew_sample_rows
+        # the key distribution of a binlog is stable across micro-batches:
+        # probe on the first batch, then re-probe every Nth — the probe
+        # action (sampled key-count aggregate) drops out of the per-batch
+        # serial floor. 1 forces a probe every batch.
+        self.skew_probe_interval = max(skew_probe_interval, 1)
+        self._batches_since_probe: "int | None" = None
+        self._last_salt = 0
         # record per-batch invalid-record counts in lineage (the
         # observability twin of the reference's per-value WARN,
         # ColumnVisitorImpl.java:90-97); also serves stop_on_invalid_record
@@ -265,7 +273,14 @@ class CdcPipeline:
 
         salt = self.salt_buckets
         if self.skew_detect and not salt:
-            salt = self._detect_skew(batch_df, stats["events"])
+            if (
+                self._batches_since_probe is None
+                or self._batches_since_probe >= self.skew_probe_interval
+            ):
+                self._last_salt = self._detect_skew(batch_df, stats["events"])
+                self._batches_since_probe = 0
+            self._batches_since_probe += 1
+            salt = self._last_salt
 
         coerced = self.coerce(batch_df)
         latest = dedup_latest(coerced, salt_buckets=salt)
