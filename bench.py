@@ -70,6 +70,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
 
 
 def bench_cdc(spark, num_events: int, num_chunks: int = 4) -> dict:
+    """CDC replay at both table modes over the same binlog: copy-on-write
+    (rewrite touched buckets) and merge-on-read (delta appends + adaptive
+    compaction — write cost ∝ changes, the 10^10-event mode)."""
     from embulk_filter_timestamp_format_spark.lake import IceTable
     from embulk_filter_timestamp_format_spark.sources.binlog import generate_binlog
     from embulk_filter_timestamp_format_spark.streaming.cdc import (
@@ -84,22 +87,28 @@ def bench_cdc(spark, num_events: int, num_chunks: int = 4) -> dict:
             spark, binlog_dir, num_events, num_docs=max(num_events // 10, 100),
             num_chunks=num_chunks,
         )
-        table = IceTable.create(
-            spark, os.path.join(workdir, "table"), TARGET_SCHEMA,
-            key="doc_id", num_buckets=32,
-        )
-        pipe = CdcPipeline(spark, table)
-        t0 = time.time()
-        pipe.replay_chunks(chunks)
-        dt = time.time() - t0
-        rows = table.read().count()
-        return {
-            "events": num_events,
-            "replay_sec": round(dt, 3),
-            "events_per_sec": round(num_events / dt, 1),
-            "final_rows": rows,
-            "snapshots": table.current_version(),
-        }
+
+        def replay(mode: str) -> dict:
+            table = IceTable.create(
+                spark, os.path.join(workdir, f"table_{mode}"), TARGET_SCHEMA,
+                key="doc_id", num_buckets=32, write_mode=mode,
+            )
+            pipe = CdcPipeline(spark, table)
+            t0 = time.time()
+            pipe.replay_chunks(chunks)
+            dt = time.time() - t0
+            rows = table.read().count()
+            return {
+                "events": num_events,
+                "replay_sec": round(dt, 3),
+                "events_per_sec": round(num_events / dt, 1),
+                "final_rows": rows,
+                "snapshots": table.current_version(),
+            }
+
+        out = replay("cow")
+        out["mor"] = replay("mor")
+        return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

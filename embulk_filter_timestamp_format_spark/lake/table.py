@@ -31,6 +31,16 @@ Guarantees (the Iceberg subset the north rule uses):
 * **copy-on-write MERGE by bucket** — only buckets containing updated
   keys are rewritten; cost ∝ touched data, never table size. Bucket
   count is the merge-parallelism knob at cluster scale.
+* **merge-on-read MERGE** (``write_mode='mor'``) — each merge appends
+  per-bucket DELTA files (payload + ``__op``, deletes as tombstones);
+  write cost ∝ batch changes, independent of table size. Readers merge
+  base+deltas with the same hash-agg-max dedup the CDC path uses (the
+  ``seq`` column from the spec orders versions). Buckets whose delta
+  chain exceeds ``compact_threshold`` are compacted back to base files
+  inside the same commit (adaptive per-bucket copy-on-write), bounding
+  read amplification. The right mode for high-churn CDC: COW rewrites
+  every touched bucket per batch — at uniform key distributions that is
+  the whole table every batch.
 """
 
 from __future__ import annotations
@@ -70,7 +80,14 @@ class IceTable:
         schema: T.StructType,
         key: str = "doc_id",
         num_buckets: int = 16,
+        write_mode: str = "cow",
+        seq: str = "event_seq",
+        compact_threshold: int = 8,
     ) -> "IceTable":
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        if write_mode == "mor" and seq not in {f.name for f in schema.fields}:
+            raise ValueError(f"merge-on-read needs the seq column {seq!r} in the schema")
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -79,7 +96,13 @@ class IceTable:
             "parent": None,
             "schema": json.loads(schema.json()),
             "schema_version": 1,
-            "spec": {"key": key, "num_buckets": num_buckets},
+            "spec": {
+                "key": key,
+                "num_buckets": num_buckets,
+                "write_mode": write_mode,
+                "seq": seq,
+                "compact_threshold": compact_threshold,
+            },
             "files": [],
             "summary": {"batch_ids": {}, "lineage": [], "operation": "create"},
         }
@@ -146,50 +169,75 @@ class IceTable:
     def schema(self, version: "int | None" = None) -> T.StructType:
         return T.StructType.fromJson(self.snapshot(version)["schema"])
 
-    def read(self, version: "int | None" = None) -> DataFrame:
-        """Snapshot read; old-schema files are cast-projected to the
-        snapshot schema (schema-evolution read rule)."""
-        snap = self.snapshot(version)
-        schema = T.StructType.fromJson(snap["schema"])
-        files = snap["files"]
+    def _read_projected(
+        self, files: list[dict], schema: T.StructType, with_op: bool = False
+    ) -> "DataFrame | None":
+        """Files → DataFrame cast-projected to `schema` (schema-evolution
+        read rule: each file is read with its own schema_version and
+        projected to the requested one). `with_op` keeps the delta files'
+        ``__op`` column. None when `files` is empty."""
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return None
         by_sv: dict[int, list[str]] = {}
         for f in files:
             by_sv.setdefault(f.get("schema_version", 1), []).append(
                 os.path.join(self.root, f["path"])
             )
         parts = []
-        for sv, paths in by_sv.items():
+        for _sv, paths in by_sv.items():
             df = self.spark.read.parquet(*paths)
-            missing = [f.name for f in schema.fields if f.name not in df.columns]
-            cols = []
-            for f in schema.fields:
-                if f.name in df.columns:
-                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-                else:
-                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            cols = [
+                (F.col(f.name) if f.name in df.columns else F.lit(None))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in schema.fields
+            ]
+            if with_op:
+                cols.append(F.col("__op"))
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
+    def _merge_mor(
+        self, base: "DataFrame | None", deltas: DataFrame, key: str, seq: str
+    ) -> DataFrame:
+        """Merge-on-read view: latest row per key across base ∪ deltas
+        (hash-agg max + join-back — the same sort-free dedup plan the CDC
+        batch path uses), delete tombstones dropped. The maxes side spans
+        the WHOLE key set, so it is NOT broadcast — AQE picks a shuffled
+        hash join co-partitioned on the key."""
+        all_rows = deltas
+        if base is not None:
+            all_rows = base.withColumn("__op", F.lit("U")).unionByName(deltas)
+        maxes = all_rows.groupBy(key).agg(F.max(seq).alias(seq))
+        latest = all_rows.join(maxes, [key, seq])
+        return latest.filter(F.col("__op") != "D").drop("__op")
+
+    def read(self, version: "int | None" = None) -> DataFrame:
+        """Snapshot read; old-schema files are cast-projected to the
+        snapshot schema. Merge-on-read tables merge base + delta files."""
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(snap["schema"])
+        files = snap["files"]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        base_files = [f for f in files if not f.get("delta")]
+        delta_files = [f for f in files if f.get("delta")]
+        base = self._read_projected(base_files, schema)
+        if not delta_files:
+            return base if base is not None else self.spark.createDataFrame([], schema)
+        deltas = self._read_projected(delta_files, schema, with_op=True)
+        spec = snap["spec"]
+        return self._merge_mor(base, deltas, spec["key"], spec.get("seq", "event_seq"))
+
     def _read_buckets(self, snap: dict, buckets: set[int]) -> "DataFrame | None":
         schema = T.StructType.fromJson(snap["schema"])
-        paths = [
-            os.path.join(self.root, f["path"])
-            for f in snap["files"]
-            if f["bucket"] in buckets
-        ]
-        if not paths:
-            return None
-        df = self.spark.read.parquet(*paths)
-        cols = [
-            (F.col(f.name) if f.name in df.columns else F.lit(None)).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
-        return df.select(*cols)
+        return self._read_projected(
+            [f for f in snap["files"] if f["bucket"] in buckets and not f.get("delta")],
+            schema,
+        )
 
     # ------------------------------------------------------------------
     # write paths
@@ -198,7 +246,10 @@ class IceTable:
     def _bucket_expr(self, key: str, num_buckets: int):
         return F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
 
-    def _write_data_files(self, df: DataFrame, key: str, num_buckets: int, schema_version: int):
+    def _write_data_files(
+        self, df: DataFrame, key: str, num_buckets: int, schema_version: int,
+        delta: bool = False,
+    ):
         """Write df bucketed by key; returns file entries for the snapshot.
 
         One output dir per write; files are registered with their bucket so
@@ -225,9 +276,10 @@ class IceTable:
                     rel = os.path.relpath(
                         os.path.join(out_dir, bdir, fn), self.root
                     )
-                    entries.append(
-                        {"path": rel, "bucket": bucket, "schema_version": schema_version}
-                    )
+                    entry = {"path": rel, "bucket": bucket, "schema_version": schema_version}
+                    if delta:
+                        entry["delta"] = True
+                    entries.append(entry)
         return entries
 
     def _remove_files(self, entries: list[dict]) -> None:
@@ -292,7 +344,12 @@ class IceTable:
         rewrote a touched bucket invalidates our merge input, so the
         merge recomputes from the new snapshot (Iceberg's validation +
         retry rule for copy-on-write).
+
+        Tables created with ``write_mode='mor'`` take the merge-on-read
+        path instead: delta files + adaptive compaction.
         """
+        if self.snapshot()["spec"].get("write_mode", "cow") == "mor":
+            return self._merge_into_mor(updates, batch_id, source, op_col, lineage)
         for _ in range(MAX_COMMIT_RETRIES):
             snap = self.snapshot()
             if batch_id is not None and self._fenced(snap, source, batch_id):
@@ -337,6 +394,101 @@ class IceTable:
             # are stale — drop them and recompute against the new snapshot
             self._remove_files(entries)
         raise CommitConflict(f"merge_into lost {MAX_COMMIT_RETRIES} commit races")
+
+    def _merge_into_mor(
+        self,
+        updates: DataFrame,
+        batch_id: "int | None",
+        source: str,
+        op_col: str,
+        lineage: "dict | None",
+    ) -> "int | None":
+        """Merge-on-read MERGE: append the (pre-deduped) updates as
+        per-bucket DELTA files — payload + ``__op`` (deletes stay as
+        tombstone rows) — WITHOUT reading or rewriting the base table.
+        Write cost ∝ batch changes; at 10^10-event scale this is the
+        difference between rewriting the table every batch (COW under
+        uniform keys) and an append-sized write.
+
+        Buckets whose delta chain would exceed ``compact_threshold`` are
+        compacted in the SAME commit: base + all deltas of the bucket are
+        merged (latest-per-key, tombstones dropped) into fresh base files
+        and the chain is replaced — adaptive per-bucket copy-on-write
+        that bounds read amplification to ``compact_threshold`` files.
+
+        Conflict handling: any lost commit race recomputes from the fresh
+        snapshot (MOR recompute is cheap — the delta write) and removes
+        the orphaned files of the failed attempt.
+        """
+        for _ in range(MAX_COMMIT_RETRIES):
+            snap = self.snapshot()
+            if batch_id is not None and self._fenced(snap, source, batch_id):
+                return snap["version"]
+            spec = snap["spec"]
+            key, num_buckets = spec["key"], spec["num_buckets"]
+            seq = spec.get("seq", "event_seq")
+            threshold = spec.get("compact_threshold", 8)
+            schema = T.StructType.fromJson(snap["schema"])
+            payload_cols = [f.name for f in schema.fields]
+
+            delta_df = updates.select(*payload_cols, F.col(op_col).alias("__op"))
+            entries = self._write_data_files(
+                delta_df, key, num_buckets, snap["schema_version"], delta=True
+            )
+            if not entries:
+                return None  # empty batch: nothing to merge, nothing to commit
+
+            chain: dict[int, int] = {}
+            for f in snap["files"]:
+                if f.get("delta"):
+                    chain[f["bucket"]] = chain.get(f["bucket"], 0) + 1
+            for e in entries:
+                chain[e["bucket"]] = chain.get(e["bucket"], 0) + 1
+            compact = {b for b, c in chain.items() if c > threshold}
+
+            comp_entries: list[dict] = []
+            if compact:
+                base = self._read_projected(
+                    [f for f in snap["files"] if not f.get("delta") and f["bucket"] in compact],
+                    schema,
+                )
+                deltas = self._read_projected(
+                    [f for f in snap["files"] if f.get("delta") and f["bucket"] in compact]
+                    + [e for e in entries if e["bucket"] in compact],
+                    schema,
+                    with_op=True,
+                )
+                merged = self._merge_mor(base, deltas, key, seq)
+                comp_entries = self._write_data_files(
+                    merged, key, num_buckets, snap["schema_version"]
+                )
+
+            new = self._child(snap, "merge")
+            new["files"] = (
+                [f for f in snap["files"] if f["bucket"] not in compact]
+                + [e for e in entries if e["bucket"] not in compact]
+                + comp_entries
+            )
+            if batch_id is not None:
+                new["summary"]["batch_ids"][source] = batch_id
+            if lineage is not None:
+                new["summary"]["lineage"] = [lineage]
+            if compact:
+                new["summary"]["compacted_buckets"] = sorted(compact)
+            try:
+                self._write_snapshot(new)
+                if compact:
+                    # the fresh deltas of compacted buckets were folded into
+                    # the new base files and never referenced — drop them
+                    self._remove_files([e for e in entries if e["bucket"] in compact])
+                return new["version"]
+            except CommitConflict:
+                self._remove_files(entries + comp_entries)
+                latest = self.snapshot()
+                if batch_id is not None and self._fenced(latest, source, batch_id):
+                    return latest["version"]
+                # recompute against the newer snapshot
+        raise CommitConflict(f"merge_into(mor) lost {MAX_COMMIT_RETRIES} commit races")
 
     def _try_commit_merge(
         self,

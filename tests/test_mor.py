@@ -1,0 +1,124 @@
+"""Merge-on-read tables: replay equivalence with copy-on-write, bounded
+delta chains via adaptive compaction, idempotent fencing, time travel."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_filter_timestamp_format_spark.lake import IceTable
+from embulk_filter_timestamp_format_spark.sources.binlog import BINLOG_SCHEMA, generate_binlog
+from embulk_filter_timestamp_format_spark.streaming.cdc import TARGET_SCHEMA, CdcPipeline
+
+N_EVENTS = 2000
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def binlog_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("binlog_mor"))
+    generate_binlog(spark, d, N_EVENTS, N_DOCS, num_chunks=4)
+    return d
+
+
+def _table(spark, tmp_path, name, **kw):
+    return IceTable.create(
+        spark, str(tmp_path / name), TARGET_SCHEMA, key="doc_id", num_buckets=8, **kw
+    )
+
+
+def _rows(table):
+    return {
+        r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["event_seq"])
+        for r in table.read().collect()
+    }
+
+
+def _chunks(binlog_dir):
+    return sorted(glob.glob(binlog_dir + "/chunk_*"))
+
+
+def test_mor_replay_equals_cow(spark, binlog_dir, tmp_path):
+    cow = _table(spark, tmp_path, "cow")
+    CdcPipeline(spark, cow).replay_chunks(_chunks(binlog_dir))
+    mor = _table(spark, tmp_path, "mor", write_mode="mor")
+    CdcPipeline(spark, mor).replay_chunks(_chunks(binlog_dir))
+    assert _rows(mor) == _rows(cow)
+    # MOR actually wrote deltas (at threshold 8, 4 batches stay deltas)
+    snap = mor.snapshot()
+    assert any(f.get("delta") for f in snap["files"])
+
+
+def test_mor_compaction_bounds_delta_chain(spark, binlog_dir, tmp_path):
+    mor = _table(spark, tmp_path, "mor_c", write_mode="mor", compact_threshold=2)
+    pipe = CdcPipeline(spark, mor)
+    chunks = _chunks(binlog_dir)
+    pipe.replay_chunks(chunks)
+    snap = mor.snapshot()
+    chain: dict[int, int] = {}
+    for f in snap["files"]:
+        if f.get("delta"):
+            chain[f["bucket"]] = chain.get(f["bucket"], 0) + 1
+    assert all(c <= 2 for c in chain.values()), chain
+    # at least one commit compacted something
+    assert any(
+        mor.snapshot(v)["summary"].get("compacted_buckets")
+        for v in range(2, mor.current_version() + 1)
+    )
+    # state identical to an uncompacted replay
+    plain = _table(spark, tmp_path, "mor_p", write_mode="mor", compact_threshold=100)
+    CdcPipeline(spark, plain).replay_chunks(chunks)
+    assert _rows(mor) == _rows(plain)
+    # no orphan files: disk == union of registered paths over all versions
+    import os
+
+    registered = set()
+    for v in range(1, mor.current_version() + 1):
+        for f in mor.snapshot(v)["files"]:
+            registered.add(os.path.join(mor.root, f["path"]))
+    on_disk = {
+        p
+        for p in glob.glob(os.path.join(mor.data_dir, "**", "*.parquet"), recursive=True)
+    }
+    assert on_disk <= registered  # compaction may drop same-commit deltas from disk
+
+
+def test_mor_duplicate_batch_fenced(spark, binlog_dir, tmp_path):
+    mor = _table(spark, tmp_path, "mor_f", write_mode="mor")
+    pipe = CdcPipeline(spark, mor)
+    chunks = _chunks(binlog_dir)
+    pipe.replay_chunks(chunks)
+    v = mor.current_version()
+    CdcPipeline(spark, mor).replay_chunks(chunks)  # duplicate delivery
+    assert mor.current_version() == v
+    df0 = spark.read.schema(BINLOG_SCHEMA).parquet(chunks[0])
+    assert pipe.apply_batch(df0, 0) is None
+
+
+def test_mor_time_travel(spark, binlog_dir, tmp_path):
+    mor = _table(spark, tmp_path, "mor_tt", write_mode="mor", compact_threshold=2)
+    pipe = CdcPipeline(spark, mor)
+    chunks = _chunks(binlog_dir)
+    pipe.replay_chunks(chunks[:1])
+    v1 = mor.current_version()
+    n1 = mor.read().count()
+    pipe.replay_chunks(chunks, start_batch=0)
+    assert mor.read(version=v1).count() == n1  # snapshot isolation across compaction
+
+
+def test_mor_deletes_are_tombstones(spark, tmp_path):
+    mor = _table(spark, tmp_path, "mor_d", write_mode="mor")
+    up1 = spark.createDataFrame(
+        [("d1", [1, 2], 2, "s", None, None, None, 1), ("d2", [3], 1, "s", None, None, None, 2)],
+        TARGET_SCHEMA,
+    ).withColumn("op", F.lit("U"))
+    mor.merge_into(up1, batch_id=0, source="t")
+    del2 = spark.createDataFrame(
+        [("d1", [9], 1, "s", None, None, None, 3)], TARGET_SCHEMA
+    ).withColumn("op", F.lit("D"))
+    mor.merge_into(del2, batch_id=1, source="t")
+    rows = {r["doc_id"] for r in mor.read().collect()}
+    assert rows == {"d2"}
+    # the tombstone is physically present in a delta file (merge-on-read)
+    snap = mor.snapshot()
+    assert sum(1 for f in snap["files"] if f.get("delta")) >= 2
