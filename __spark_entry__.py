@@ -158,6 +158,19 @@ def q_cdc_merge_upsert(spark, sf_dir):
     return merged
 
 
+def q_stream_window_counts(spark, sf_dir):
+    """Event-time tumbling-window counts — the streaming windowed-agg
+    plan (streaming/windows.py) run in its bounded/backfill form; the
+    streaming variant adds only withWatermark."""
+    from embulk_filter_timestamp_format_spark.streaming.windows import windowed_counts
+
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("event_time"),
+        F.col("event_type"),
+    )
+    return windowed_counts(ev, ts_col="event_time", window="1 minute", keys=("event_type",))
+
+
 def q_cdc_lineage_stats(spark, sf_dir):
     """Per-micro-batch lineage: offset range + op counts (batch = event_id div 1000)."""
     ev = _events(spark, sf_dir)
@@ -211,6 +224,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     return S.lsh_ann_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN with hash-sampled centroids — deterministic, so the
+    whole pipeline (centroid pick, assignment, probing, re-rank) has an
+    exact SQL oracle."""
+    return S.ivf_topk(
+        _emb(spark, sf_dir), query_ids=list(range(10)), k=5,
+        centroid_stride=32, nprobe=4,
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from embulk_filter_timestamp_format_spark.operators import multimodal as MM
 
@@ -250,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsfmt_timezone_render": q_tsfmt_timezone_render,
         "tsfmt_multiformat_cascade": q_tsfmt_multiformat_cascade,
         "tsfmt_json_epoch": q_tsfmt_json_epoch,
+        "stream_window_counts": q_stream_window_counts,
         "cdc_dedup_latest": q_cdc_dedup_latest,
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_lineage_stats": q_cdc_lineage_stats,
@@ -260,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -293,6 +318,19 @@ def _simhash60_sql() -> str:
         for b in range(60)
     ]
     return "(" + "\n + ".join(terms) + ")"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Rounded-to-6 cosine between two DuckDB list columns — the twin of
+    operators.similarity.cosine + F.round(·, 6) (float64, matching
+    accumulation as validated by the embedding_topk oracle)."""
+    dot = (
+        f"list_sum(list_transform(range(1, len({b}) + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+    na = f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))"
+    return f"round({dot} / ({na} * {nb}), 6)"
 
 
 def _lang_case() -> str:
@@ -343,6 +381,12 @@ def oracle_sql() -> dict[str, str]:
                    strftime(make_timestamp(CAST(props->>'$.k' AS BIGINT) * 1000000),
                             '%Y-%m-%d %H:%M:%S') AS k_ts
             FROM events""",
+        "stream_window_counts": """
+            SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+                   time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS events
+            FROM events GROUP BY 1, 2, 3""",
         "cdc_dedup_latest": """
             SELECT user_id, event_id, event_type, round(value, 6) AS value
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
@@ -471,6 +515,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
+        # IVF ANN: centroid pick / assignment / probing / re-rank all
+        # deterministic (md5 hash sample + rounded-cosine ranking) → the
+        # whole pipeline has an exact SQL twin.
+        "ann_ivf_topk": f"""
+            WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                       WHERE (('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT) % 32 = 0),
+            a AS (SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid ASC) AS rn
+                    FROM embeddings e, c) WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            p AS (SELECT query_id, qv, cid FROM (
+                    SELECT q.query_id, q.qv, c.cid,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, c.cid ASC) AS rn
+                    FROM q, c) WHERE rn <= 4),
+            cand AS (SELECT p.query_id, p.qv, e.vec_id AS neighbor_id, e.embedding AS nv
+                     FROM p JOIN a ON a.cid = p.cid JOIN embeddings e ON e.vec_id = a.vec_id
+                     WHERE e.vec_id <> p.query_id)
+            SELECT query_id, neighbor_id, rank, cos_sim FROM (
+              SELECT query_id, neighbor_id,
+                     {_cos_sql('qv', 'nv')} AS cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY {_cos_sql('qv', 'nv')} DESC, neighbor_id ASC) AS rank
+              FROM cand) WHERE rank <= 5""",
         # ann_lsh_topk / multimodal_features: candidate-generation &
         # binary ops — verified in pytest by containment/recall vs exact
         # baselines (rows-only driver check).

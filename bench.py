@@ -144,7 +144,7 @@ def bench_parse_format(spark, rows: int = 2_000_000) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    num_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "2000000"))
+    num_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "8000000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = build_spark(cpus)

@@ -6,6 +6,15 @@
 * LSH-bucketed ANN — the scale path: random-hyperplane signatures from
   seeded deterministic pseudo-vectors, candidates from bucket equality,
   exact re-rank of candidates only; recall measured against brute force.
+* IVF (inverted-file) ANN — the other scale path: every vector is
+  assigned to its nearest centroid (centroids = a deterministic
+  md5-hash sample of the vectors themselves — IVF-Flat with sampled
+  centroids); queries probe the ``nprobe`` nearest centroid lists and
+  re-rank exactly. The hash-sampled centroids make the WHOLE pipeline
+  reproducible in the SQL oracle. At 100 TB: centroid count scales as
+  ~sqrt(N) via ``centroid_stride``; assignment is one broadcast join +
+  hash-agg argmax (no sort of the big side), probing touches
+  nprobe/num_centroids of the data.
 """
 
 from __future__ import annotations
@@ -58,6 +67,74 @@ def cosine_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_stride: int = 64,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat ANN with deterministic hash-sampled centroids.
+
+    * centroids: vectors whose 60-bit md5(vec_id) hash ≡ 0 mod
+      ``centroid_stride`` (≈ N/stride centroids, deterministic — the SQL
+      oracle reproduces the set exactly);
+    * assignment: nearest centroid by cosine — broadcast the (small)
+      centroid table, hash-agg argmax via max(struct(sim, -cid)) (no
+      window/sort over the big side), join the winning cid back;
+    * search: each query probes its ``nprobe`` nearest centroids and
+      exact-reranks only those inverted lists.
+
+    Output matches cosine_topk's shape: (query_id, neighbor_id, rank,
+    cos_sim). Recall vs brute force is measured in pytest; it rises with
+    nprobe (= 1.0 when nprobe ≥ num centroids)."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    cents = F.broadcast(
+        df.filter(F.pmod(h, F.lit(centroid_stride)) == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    )
+
+    csim = F.round(cosine(F.col(vec_col), F.col("cv")), 6)
+    scored_c = df.join(cents).select(id_col, F.col("cid"), csim.alias("csim"))
+    best = scored_c.groupBy(id_col).agg(
+        F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("negcid"))).alias("b")
+    )
+    assigned = df.join(
+        best.select(id_col, (-F.col("b.negcid")).alias("cid")), id_col
+    )
+
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qsim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    qc = q.join(cents).select("query_id", "qv", "cid", qsim.alias("csim"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+
+    cand = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col(vec_col)), 6)
+    scored = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

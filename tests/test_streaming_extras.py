@@ -1,0 +1,131 @@
+"""Streaming windowed aggregation (watermark semantics) and the
+applyInPandasWithState custom stateful operator."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_filter_timestamp_format_spark.sources.binlog import BINLOG_SCHEMA, generate_binlog
+from embulk_filter_timestamp_format_spark.streaming.windows import (
+    track_doc_state,
+    windowed_counts,
+)
+
+N_EVENTS = 3000
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def binlog_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("binlog_stream"))
+    generate_binlog(spark, d, N_EVENTS, N_DOCS, num_chunks=3)
+    return d
+
+
+def _stream(spark, binlog_dir):
+    return (
+        spark.readStream.schema(BINLOG_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(binlog_dir + "/chunk_*")
+    )
+
+
+def _with_ts(df):
+    return df.withColumn("event_time", F.timestamp_millis(F.col("event_time_ms")))
+
+
+def test_windowed_counts_stream_matches_batch(spark, binlog_dir):
+    """Complete-mode streaming windowed agg over the full (bounded)
+    stream equals the identical batch plan."""
+    stream = _with_ts(_stream(spark, binlog_dir))
+    out = windowed_counts(stream, window="1 minute", keys=("op",))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["window_end"], r["op"]): r["events"]
+        for r in spark.sql("SELECT * FROM win_complete").collect()
+    }
+    batch_df = _with_ts(spark.read.schema(BINLOG_SCHEMA).parquet(binlog_dir + "/chunk_*"))
+    expect = {
+        (r["window_start"], r["window_end"], r["op"]): r["events"]
+        for r in windowed_counts(batch_df, window="1 minute", keys=("op",)).collect()
+    }
+    assert got == expect
+
+
+def test_windowed_counts_append_emits_only_finalized(spark, binlog_dir):
+    """Append mode emits only windows the watermark has passed — a
+    subset of the batch result, with exactly matching counts (no window
+    is emitted before all its (non-late) data arrived)."""
+    stream = _with_ts(_stream(spark, binlog_dir))
+    out = windowed_counts(stream, window="1 minute", watermark="2 minutes", keys=("op",))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["window_end"], r["op"]): r["events"]
+        for r in spark.sql("SELECT * FROM win_append").collect()
+    }
+    batch_df = _with_ts(spark.read.schema(BINLOG_SCHEMA).parquet(binlog_dir + "/chunk_*"))
+    expect = {
+        (r["window_start"], r["window_end"], r["op"]): r["events"]
+        for r in windowed_counts(batch_df, window="1 minute", keys=("op",)).collect()
+    }
+    assert set(got) <= set(expect)
+    for k, v in got.items():
+        assert expect[k] == v  # finalized windows are complete
+
+
+def test_track_doc_state_matches_batch_truth(spark, binlog_dir):
+    """The stateful operator's LAST emission per doc equals the batch
+    ground truth (total events, max seq, latest-op-is-delete)."""
+    stream = _stream(spark, binlog_dir)
+    q = (
+        track_doc_state(stream)
+        .writeStream.format("memory")
+        .queryName("doc_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode re-emits a key every batch it appears in; the final
+    # state is the row with the highest event count per doc
+    rows = spark.sql("SELECT * FROM doc_state").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["doc_id"])
+        if cur is None or r["events"] > cur["events"]:
+            final[r["doc_id"]] = r
+
+    ev = spark.read.schema(BINLOG_SCHEMA).parquet(binlog_dir + "/chunk_*")
+    truth = {
+        r["doc_id"]: r
+        for r in ev.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("events"),
+            F.max("event_seq").alias("last_seq"),
+            F.max_by("op", "event_seq").alias("last_op"),
+        )
+        .collect()
+    }
+    assert set(final) == set(truth)
+    for d, r in final.items():
+        t = truth[d]
+        assert (r["events"], r["last_seq"], r["deleted"]) == (
+            t["events"],
+            t["last_seq"],
+            t["last_op"] == "D",
+        ), d
