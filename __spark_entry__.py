@@ -147,15 +147,18 @@ def q_cdc_merge_upsert(spark, sf_dir):
         ev.filter(~split).select("user_id", "event_id", "event_type", "value"),
         key="user_id", seq="event_id",
     ).withColumn("op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")))
-    j = base.alias("t").join(upd.alias("u"), "user_id", "full_outer")
-    has_u = F.col("u.op").isNotNull()
-    merged = j.filter(~(has_u & (F.col("u.op") == "D"))).select(
-        F.col("user_id"),
-        F.when(has_u, F.col("u.event_id")).otherwise(F.col("t.event_id")).alias("event_id"),
-        F.when(has_u, F.col("u.event_type")).otherwise(F.col("t.event_type")).alias("event_type"),
-        F.round(F.when(has_u, F.col("u.value")).otherwise(F.col("t.value")), 6).alias("value"),
+    # MERGE as (updated-key rows from upd, minus deletes) ∪ (base rows
+    # whose key is untouched) — the broadcast-anti-join formulation the
+    # engine's COW merge uses; a full-outer join would force a
+    # SortMergeJoin of the wide rows. Semantics identical (the oracle
+    # keeps the full-outer SQL spelling).
+    survivors = upd.filter(F.col("op") != "D").select(
+        "user_id", "event_id", "event_type", F.round("value", 6).alias("value")
     )
-    return merged
+    untouched = base.join(F.broadcast(upd.select("user_id")), "user_id", "left_anti").select(
+        "user_id", "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    return survivors.unionByName(untouched)
 
 
 def q_stream_window_counts(spark, sf_dir):

@@ -108,12 +108,17 @@ def ivf_topk(
 
     csim = F.round(cosine(F.col(vec_col), F.col("cv")), 6)
     scored_c = df.join(cents).select(id_col, F.col("cid"), csim.alias("csim"))
-    best = scored_c.groupBy(id_col).agg(
-        F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("negcid"))).alias("b")
+    # argmax as max + join-back + min — three fixed-width HashAggregates
+    # and a slim join (max(struct) / max_by(struct ordering) both compile
+    # to SortAggregate, sorting the big side); ties broken toward the
+    # smaller cid to match the SQL oracle's ORDER BY
+    best_sim = scored_c.groupBy(id_col).agg(F.max("csim").alias("csim"))
+    best = (
+        scored_c.join(best_sim, [id_col, "csim"])
+        .groupBy(id_col)
+        .agg(F.min("cid").alias("cid"))
     )
-    assigned = df.join(
-        best.select(id_col, (-F.col("b.negcid")).alias("cid")), id_col
-    )
+    assigned = df.join(best, id_col)
 
     q = df.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
