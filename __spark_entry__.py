@@ -305,6 +305,13 @@ _SHINGLE_KEYS = (
     f"list_distinct(list_transform({_SHINGLES}, "
     f"x -> (('0x' || substring(md5(x), 1, 15))::BIGINT)))"
 )
+# minhash affine-permutation constants (must match operators.dedup.affine_params(32, 7))
+from embulk_filter_timestamp_format_spark.operators.dedup import affine_params as _affine_params
+
+_MINHASH_AB = (
+    "[" + ", ".join(f"{{'a': {a}, 'b': {b}}}" for a, b in _affine_params(32, 7)) + "]"
+)
+
 # 60-bit md5-prefix word hashes (must match operators.dedup.word_hashes60)
 _LWORDS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
 _WORD_HASHES60 = (
@@ -482,9 +489,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, cos_sim FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
-        # minhash_lsh uses md5-derived permutations and raw string band
-        # buckets, so the WHOLE pipeline — signature, banding, candidate
-        # join, exact-Jaccard verify — is reproduced in SQL.
+        # minhash_lsh uses affine universal-hash permutations over the
+        # md5-derived shingle keys and raw string band buckets, so the
+        # WHOLE pipeline — signature, banding, candidate join,
+        # exact-Jaccard verify — is reproduced in SQL (same (a,b)
+        # constants, same integer arithmetic).
         "minhash_lsh": f"""
             WITH base AS (SELECT doc_id, list_transform({_WORDS}, x -> lower(x)) AS w
                           FROM documents),
@@ -492,9 +501,9 @@ def oracle_sql() -> dict[str, str]:
                       (SELECT doc_id, {_SHINGLE_KEYS} AS s FROM base)
                     WHERE len(s) > 0),
             sig AS (SELECT doc_id,
-                     list_transform(range(0, 32),
-                       i -> list_min(list_transform(s,
-                            x -> (('0x' || substring(md5((i + 7)::VARCHAR || ':' || x::VARCHAR), 1, 15))::BIGINT)))) AS g
+                     list_transform({_MINHASH_AB}::STRUCT(a BIGINT, b BIGINT)[],
+                       p -> list_min(list_transform(s,
+                            x -> (p.a * (x & 2147483647) + p.b) % 2305843009213693951))) AS g
                     FROM shf),
             bands AS (SELECT doc_id, b,
                        array_to_string(list_slice(g, b*4 + 1, b*4 + 4), ',') AS bucket

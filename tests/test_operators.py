@@ -61,8 +61,15 @@ def test_minhash_signature_distinct_permutations(spark):
     """Regression: each permutation must hash differently (a degenerate
     signature array collapses all bands to one bucket)."""
     df = spark.createDataFrame([("x y z w v u t s r q",)], "text string")
-    sig = df.select(D.minhash_signature(D.shingles(F.col("text")), 8).alias("sig")).collect()[0]["sig"]
+    sig = df.select(
+        D.minhash_signature(D.shingle_keys(F.col("text")), 8).alias("sig")
+    ).collect()[0]["sig"]
     assert len(set(sig)) > 1
+    # xxhash scheme keeps working too
+    sigx = df.select(
+        D.minhash_signature(D.shingle_keys(F.col("text")), 8, hash_scheme="xxhash").alias("s")
+    ).collect()[0]["s"]
+    assert len(set(sigx)) > 1
 
 
 def test_simhash_invariants(spark, docs):
