@@ -106,6 +106,31 @@ def test_mor_time_travel(spark, binlog_dir, tmp_path):
     assert mor.read(version=v1).count() == n1  # snapshot isolation across compaction
 
 
+def test_mor_schema_evolution_mid_replay(spark, binlog_dir, tmp_path):
+    """Retype-in-place while delta files exist: old base AND old delta
+    files are cast-projected to the new schema on read; replay continues
+    and matches a plain replay."""
+    from pyspark.sql import types as T
+
+    chunks = _chunks(binlog_dir)
+    mor = _table(spark, tmp_path, "mor_ev", write_mode="mor")
+    pipe = CdcPipeline(spark, mor)
+    pipe.replay_chunks(chunks[:2])
+
+    fields = [
+        T.StructField(f.name, T.DoubleType(), True) if f.name == "ingest_time_unix" else f
+        for f in TARGET_SCHEMA.fields
+    ]
+    mor.evolve_schema(T.StructType(fields))
+    assert dict(mor.read().dtypes)["ingest_time_unix"] == "double"
+
+    CdcPipeline(spark, mor).replay_chunks(chunks, start_batch=0)
+    plain = _table(spark, tmp_path, "mor_ev_plain", write_mode="mor")
+    CdcPipeline(spark, plain).replay_chunks(chunks)
+    assert _rows(mor) == _rows(plain)
+    assert dict(mor.read().dtypes)["ingest_time_unix"] == "double"
+
+
 def test_mor_deletes_are_tombstones(spark, tmp_path):
     mor = _table(spark, tmp_path, "mor_d", write_mode="mor")
     up1 = spark.createDataFrame(
