@@ -237,6 +237,17 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — exact all-pairs verification
+    baseline (oracle-checkable) over a bounded sample (vec_id < 2000:
+    all of sf0.01/sf0.1, fixed 2000-vector sample beyond — the quadratic
+    exact pass is sample-only by design, same bound in the oracle); the
+    LSH banded variant is the full-corpus scale path (containment +
+    recall vs this baseline in test_operators)."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 2000)
+    return S.embedding_neardup_pairs(emb, threshold=0.4, method="exact")
+
+
 def q_multimodal_features(spark, sf_dir):
     from embulk_filter_timestamp_format_spark.operators import multimodal as MM
 
@@ -288,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -489,6 +501,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, cos_sim FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
+        # same op order as operators.similarity.embedding_neardup_pairs
+        # (method='exact'): norms staged per row, left-to-right float64
+        # dot, threshold on the UNROUNDED sim, round(·, 6) for output
+        "embedding_neardup": """
+            WITH nv AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+              FROM embeddings WHERE vec_id < 2000)
+            SELECT id_a, id_b, round(sim, 6) AS cos_sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_sum(list_transform(range(1, len(a.embedding) + 1),
+                              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (a.nrm * b.nrm) AS sim
+              FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+            WHERE sim >= 0.4""",
         # minhash_lsh uses affine universal-hash permutations over the
         # md5-derived shingle keys and raw string band buckets, so the
         # WHOLE pipeline — signature, banding, candidate join,

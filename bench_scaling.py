@@ -11,6 +11,7 @@ parallelism levels don't share executor state. Results are written to
 BENCH/BASELINE.md and printed as JSON.
 
 Usage: python bench_scaling.py [num_events]
+(SPARK_GRAFT_SCALING_MODE=cow|mor selects the table write mode)
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ import json, os, sys, time
 from pyspark.sql import SparkSession
 
 cpus, binlog_dir, table_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+write_mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "cow")
 spark = (
     SparkSession.builder.master(f"local[{cpus}]")
     .config("spark.sql.session.timeZone", "UTC")
@@ -49,12 +51,12 @@ chunks = sorted(glob.glob(os.path.join(binlog_dir, "chunk_*")))
 # compiles before the clock starts — the metric is SUSTAINED events/sec
 # (the one-time Janino compile is identical serial work at any cluster size)
 warm_dir = table_dir + "_warm"
-warm_table = IceTable.create(spark, warm_dir, TARGET_SCHEMA, key="doc_id", num_buckets=64)
+warm_table = IceTable.create(spark, warm_dir, TARGET_SCHEMA, key="doc_id", num_buckets=64, write_mode=write_mode)
 warm_pipe = CdcPipeline(spark, warm_table)
 warm_pipe.apply_batch(spark.read.parquet(chunks[0]).limit(2000), 0)
 shutil.rmtree(warm_dir, ignore_errors=True)
 
-table = IceTable.create(spark, table_dir, TARGET_SCHEMA, key="doc_id", num_buckets=64)
+table = IceTable.create(spark, table_dir, TARGET_SCHEMA, key="doc_id", num_buckets=64, write_mode=write_mode)
 pipe = CdcPipeline(spark, table)
 t0 = time.time()
 pipe.replay_chunks(chunks)

@@ -6,6 +6,9 @@
 * LSH-bucketed ANN — the scale path: random-hyperplane signatures from
   seeded deterministic pseudo-vectors, candidates from bucket equality,
   exact re-rank of candidates only; recall measured against brute force.
+* embedding-cosine near-dup pairs — exact all-pairs baseline (the
+  oracle path) + OR-amplified banded-hyperplane LSH (the scale path:
+  slim candidate generation, vectors join back once per unique pair).
 * IVF (inverted-file) ANN — the other scale path: every vector is
   assigned to its nearest centroid (centroids = a deterministic
   md5-hash sample of the vectors themselves — IVF-Flat with sampled
@@ -144,6 +147,90 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    method: str = "lsh",
+    num_bands: int = 12,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim ≥
+    threshold), cos_sim rounded to 6.
+
+    * ``method='exact'`` — all-pairs verification baseline (quadratic per
+      dataset; the contract-query/oracle path, NOT the 100 TB path). Norms
+      are staged once per row below the self-join so each pair costs one
+      dot product + one divide, same op order as the SQL oracle.
+    * ``method='lsh'`` — the scale path: random-hyperplane signatures,
+      OR-amplified over ``num_bands`` independent bands of
+      ``planes_per_band`` planes each (collision prob per band
+      = (1-θ/π)^planes; recall = 1-(1-p)^bands). Candidate pairs are
+      generated from SLIM (id, band, bucket) rows and deduped BEFORE the
+      vectors are joined back — the wide arrays cross the shuffle once per
+      unique candidate, never per band (the minhash_lsh lesson from round
+      1). At 100 TB raise planes_per_band ~log(N) to keep per-bucket
+      populations (and the per-bucket quadratic) constant while adding
+      bands to hold recall.
+
+    Reference parity note: the reference plugin has no similarity ops —
+    this is a north-rule training-data-pipeline addition (SURVEY §2.2).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    )
+    if method == "exact":
+        a = base.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na")
+        )
+        b = base.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb")
+        )
+        sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(sim >= threshold)
+            .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        )
+    if method != "lsh":
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+
+    sigs = []
+    for band in range(num_bands):
+        sig = None
+        for j in range(planes_per_band):
+            plane = _pseudo_plane(dim, band * planes_per_band + j, seed)
+            bit = F.when(_dot(F.col("_v"), plane) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        sigs.append(F.struct(F.lit(band).alias("band"), sig.cast("long").alias("bucket")))
+    slim = base.select(
+        "_id", F.explode(F.array(*sigs)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = slim.select(F.col("_id").alias("id_a"), "band", "bucket")
+    right = slim.select(F.col("_id").alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(sim >= threshold)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
     )
 
 

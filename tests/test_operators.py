@@ -147,6 +147,42 @@ def test_ivf_recall_and_exactness(spark, emb):
     assert full == bf_ranked
 
 
+def test_embedding_neardup_exact_matches_numpy(spark, emb):
+    import numpy as np
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = n @ n.T
+    iu = np.triu_indices(len(V), 1)
+    truth = {
+        (int(i), int(j)): sims[i, j]
+        for i, j in zip(*iu)
+        if sims[i, j] >= 0.4 - 1e-9
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in S.embedding_neardup_pairs(emb, 0.4, method="exact").collect()
+    }
+    assert set(got) == set(truth)
+    assert all(abs(got[k] - truth[k]) < 1e-6 for k in got)
+
+
+def test_embedding_neardup_lsh_contained_and_recall(spark, emb):
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in S.embedding_neardup_pairs(emb, 0.4, method="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in S.embedding_neardup_pairs(emb, 0.4, method="lsh").collect()
+    }
+    assert set(lsh) <= set(exact)  # exact verify of candidates: no false positives
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.7, f"near-dup LSH recall {recall}"  # deterministic (seeded planes)
+    assert all(lsh[k] == exact[k] for k in lsh)  # identical scoring path
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark, emb):
     out = S.cosine_topk(emb, [0], k=3).collect()
     assert all(r["neighbor_id"] != 0 for r in out)
