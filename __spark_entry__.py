@@ -21,6 +21,7 @@ from embulk_filter_timestamp_format_spark.operators import dedup as D
 from embulk_filter_timestamp_format_spark.operators import similarity as S
 from embulk_filter_timestamp_format_spark.operators import text as TX
 from embulk_filter_timestamp_format_spark.operators.text import LANG_MARKERS, STOPWORDS, BPE_TOKEN_RE
+from embulk_filter_timestamp_format_spark.lake import changelog_diff
 from embulk_filter_timestamp_format_spark.streaming.cdc import dedup_latest
 
 
@@ -161,6 +162,30 @@ def q_cdc_merge_upsert(spark, sf_dir):
     return survivors.unionByName(untouched)
 
 
+def q_cdc_changelog(spark, sf_dir):
+    """Incremental changelog (CDF) semantics as a bounded query: diff the
+    merged state before/after the second half of the stream — the same
+    slim-classification sort-free plan IceTable.changes() runs between
+    committed versions (lake/table.py::changelog_diff; version-level
+    bucket pruning is exercised in test_cdc_round2)."""
+    ev = _events(spark, sf_dir)
+    split = F.col("event_id") < 5000
+    s1 = dedup_latest(
+        ev.filter(split).select("user_id", "event_id", "event_type", "value"),
+        key="user_id", seq="event_id",
+    ).select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    upd = dedup_latest(
+        ev.filter(~split).select("user_id", "event_id", "event_type", "value"),
+        key="user_id", seq="event_id",
+    ).withColumn("op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")))
+    survivors = upd.filter(F.col("op") != "D").select(
+        "user_id", "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    untouched = s1.join(F.broadcast(upd.select("user_id")), "user_id", "left_anti")
+    s2 = survivors.unionByName(untouched)
+    return changelog_diff(s1, s2, key="user_id", seq="event_id")
+
+
 def q_stream_window_counts(spark, sf_dir):
     """Event-time tumbling-window counts — the streaming windowed-agg
     plan (streaming/windows.py) run in its bounded/backfill form; the
@@ -290,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "cdc_dedup_latest": q_cdc_dedup_latest,
         "cdc_merge_upsert": q_cdc_merge_upsert,
+        "cdc_changelog": q_cdc_changelog,
         "cdc_lineage_stats": q_cdc_lineage_stats,
         "dedup_exact": q_dedup_exact,
         "text_analysis": q_text_analysis,
@@ -429,6 +455,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN u.op IS NOT NULL THEN u.value ELSE t.value END, 6) AS value
             FROM base t FULL OUTER JOIN upd u USING (user_id)
             WHERE NOT (u.op IS NOT NULL AND u.op = 'D')""",
+        # same state construction as cdc_merge_upsert; the changelog is
+        # the seq-keyed diff of the two states (seq equality ⇔ unchanged)
+        "cdc_changelog": """
+            WITH s1 AS (
+              SELECT user_id, event_id, event_type, round(value, 6) AS value
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                    FROM events WHERE event_id < 5000) WHERE rn = 1),
+            upd AS (
+              SELECT user_id, event_id, event_type, round(value, 6) AS value,
+                     CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                    FROM events WHERE event_id >= 5000) WHERE rn = 1),
+            s2 AS (
+              SELECT user_id, event_id, event_type, value FROM upd WHERE op <> 'D'
+              UNION ALL
+              SELECT t.user_id, t.event_id, t.event_type, t.value FROM s1 t
+              WHERE t.user_id NOT IN (SELECT user_id FROM upd))
+            SELECT coalesce(n.user_id, o.user_id) AS user_id,
+                   CASE WHEN n.user_id IS NOT NULL THEN n.event_id ELSE o.event_id END AS event_id,
+                   CASE WHEN n.user_id IS NOT NULL THEN n.event_type ELSE o.event_type END AS event_type,
+                   CASE WHEN n.user_id IS NOT NULL THEN n.value ELSE o.value END AS value,
+                   CASE WHEN o.user_id IS NULL THEN 'insert'
+                        WHEN n.user_id IS NULL THEN 'delete'
+                        ELSE 'update_postimage' END AS _change_type
+            FROM s1 o FULL OUTER JOIN s2 n ON o.user_id = n.user_id
+            WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.event_id <> n.event_id""",
         "cdc_lineage_stats": """
             SELECT CAST(floor(event_id / 1000) AS BIGINT) AS batch_id,
                    CAST(count(*) AS BIGINT) AS events,

@@ -9,4 +9,4 @@ that rewrites only touched buckets. The API mirrors Iceberg so a real
 catalog can be swapped in when jars are available.
 """
 
-from .table import IceTable  # noqa: F401
+from .table import IceTable, changelog_diff  # noqa: F401

@@ -61,6 +61,57 @@ class CommitConflict(Exception):
 MAX_COMMIT_RETRIES = 5
 
 
+def changelog_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    seq: str,
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Net row changes between two keyed states (one row per key each;
+    ``seq`` is the per-key row version — strictly increasing under CDC,
+    so seq equality ⇔ the row is unchanged).
+
+    Output: the payload columns of ``new`` (``old`` for deletes) plus
+    ``_change_type`` ∈ {insert, update_postimage, delete}; unchanged keys
+    are dropped.
+
+    Plan shape (the sort-free diff): classification runs on SLIM
+    (key, seq, side) rows — one union + one fixed-width HashAggregate, no
+    full-outer SortMergeJoin of the wide payloads; the payloads join back
+    once per CHANGED key only. ``broadcast_keys`` broadcasts the
+    changed-key sides (right for version-adjacent changelogs, where
+    changes ≈ one batch); disable when diffing distant versions at
+    cluster scale — AQE then picks shuffled hash joins keyed on ``key``.
+    """
+    payload = [c for c in new.columns]
+    tagged = old.select(
+        F.col(key), F.col(seq).alias("__seq"), F.lit(0).alias("__side")
+    ).unionByName(
+        new.select(F.col(key), F.col(seq).alias("__seq"), F.lit(1).alias("__side"))
+    )
+    cls = tagged.groupBy(key).agg(
+        F.max(F.when(F.col("__side") == 0, F.col("__seq"))).alias("__so"),
+        F.max(F.when(F.col("__side") == 1, F.col("__seq"))).alias("__sn"),
+    )
+    new_keys = cls.filter(
+        F.col("__so").isNull() | (F.col("__sn").isNotNull() & (F.col("__so") != F.col("__sn")))
+    ).select(
+        key,
+        F.when(F.col("__so").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update_postimage"))
+        .alias("_change_type"),
+    )
+    del_keys = cls.filter(F.col("__sn").isNull()).select(
+        key, F.lit("delete").alias("_change_type")
+    )
+    if broadcast_keys:
+        new_keys, del_keys = F.broadcast(new_keys), F.broadcast(del_keys)
+    return new.join(new_keys, key).select(*payload, "_change_type").unionByName(
+        old.join(del_keys, key).select(*payload, "_change_type")
+    )
+
+
 class IceTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -219,8 +270,22 @@ class IceTable:
         """Snapshot read; old-schema files are cast-projected to the
         snapshot schema. Merge-on-read tables merge base + delta files."""
         snap = self.snapshot(version)
-        schema = T.StructType.fromJson(snap["schema"])
+        return self._read_state(snap)
+
+    def _read_state(
+        self,
+        snap: dict,
+        buckets: "set[int] | None" = None,
+        schema: "T.StructType | None" = None,
+    ) -> DataFrame:
+        """Materialized state of a snapshot (MOR base+delta merge applied),
+        optionally restricted to ``buckets`` and cast-projected to an
+        override ``schema`` (used by changes() to diff across a schema
+        evolution in the TO version's shape)."""
+        schema = schema if schema is not None else T.StructType.fromJson(snap["schema"])
         files = snap["files"]
+        if buckets is not None:
+            files = [f for f in files if f["bucket"] in buckets]
         if not files:
             return self.spark.createDataFrame([], schema)
         base_files = [f for f in files if not f.get("delta")]
@@ -231,6 +296,50 @@ class IceTable:
         deltas = self._read_projected(delta_files, schema, with_op=True)
         spec = snap["spec"]
         return self._merge_mor(base, deltas, spec["key"], spec.get("seq", "event_seq"))
+
+    def changes(
+        self,
+        from_version: int,
+        to_version: "int | None" = None,
+        broadcast_keys: bool = True,
+    ) -> DataFrame:
+        """Incremental changelog read (the CDF twin of time travel): net
+        row changes between two committed versions, as the TO version's
+        payload columns + ``_change_type`` ∈ {insert, update_postimage,
+        delete} (deletes carry the preimage, cast-projected to the TO
+        schema across evolutions).
+
+        Scale design — cost ∝ churn, never table size: data files are
+        immutable, so a bucket whose file set is IDENTICAL in both
+        snapshots cannot have changed; only churned buckets are read and
+        diffed (COW rewrites touched buckets, MOR appends per-bucket
+        deltas — both churn exactly the buckets that changed). The diff
+        itself is the sort-free slim-classification plan of
+        ``changelog_diff``."""
+        snap1 = self.snapshot(from_version)
+        snap2 = self.snapshot(to_version)
+        if snap2["version"] < snap1["version"]:
+            raise ValueError(
+                f"to_version {snap2['version']} precedes from_version {snap1['version']}"
+            )
+        by_bucket1: dict[int, set] = {}
+        for f in snap1["files"]:
+            by_bucket1.setdefault(f["bucket"], set()).add(f["path"])
+        by_bucket2: dict[int, set] = {}
+        for f in snap2["files"]:
+            by_bucket2.setdefault(f["bucket"], set()).add(f["path"])
+        churned = {
+            b
+            for b in set(by_bucket1) | set(by_bucket2)
+            if by_bucket1.get(b, set()) != by_bucket2.get(b, set())
+        }
+        schema = T.StructType.fromJson(snap2["schema"])
+        spec = snap2["spec"]
+        old = self._read_state(snap1, buckets=churned, schema=schema)
+        new = self._read_state(snap2, buckets=churned)
+        return changelog_diff(
+            old, new, spec["key"], spec.get("seq", "event_seq"), broadcast_keys
+        )
 
     def _read_buckets(self, snap: dict, buckets: set[int]) -> "DataFrame | None":
         schema = T.StructType.fromJson(snap["schema"])

@@ -1,0 +1,149 @@
+"""Incremental changelog reads (IceTable.changes — the CDF twin of time
+travel): diff-vs-state-read equivalence on COW and MOR tables, bucket-level
+pruning (cost ∝ churn), schema-evolution casts, and version guards."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_filter_timestamp_format_spark.lake import IceTable, changelog_diff
+from embulk_filter_timestamp_format_spark.sources.binlog import generate_binlog
+from embulk_filter_timestamp_format_spark.streaming.cdc import TARGET_SCHEMA, CdcPipeline
+
+N_EVENTS = 2000
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def binlog_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("binlog_chg"))
+    generate_binlog(spark, d, N_EVENTS, N_DOCS, num_chunks=4)
+    return d
+
+
+def _chunks(binlog_dir):
+    return sorted(glob.glob(binlog_dir + "/chunk_*"))
+
+
+def _state(table, version):
+    return {
+        r["doc_id"]: (tuple(r["tokens"] or ()), r["n_tok"], r["event_seq"])
+        for r in table.read(version).collect()
+    }
+
+
+def _truth_diff(old, new):
+    """Classify net changes between two key→(payload…, seq) states."""
+    out = {}
+    for k, v in new.items():
+        if k not in old:
+            out[k] = ("insert", v)
+        elif old[k][-1] != v[-1]:
+            out[k] = ("update_postimage", v)
+    for k, v in old.items():
+        if k not in new:
+            out[k] = ("delete", v)
+    return out
+
+
+def _got_diff(table, v1, v2):
+    return {
+        r["doc_id"]: (r["_change_type"], (tuple(r["tokens"] or ()), r["n_tok"], r["event_seq"]))
+        for r in table.changes(v1, v2).collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_changes_matches_state_diff(spark, binlog_dir, tmp_path, mode):
+    table = IceTable.create(
+        spark, str(tmp_path / f"t_{mode}"), TARGET_SCHEMA, key="doc_id",
+        num_buckets=8, write_mode=mode,
+    )
+    pipe = CdcPipeline(spark, table)
+    chunks = _chunks(binlog_dir)
+    pipe.replay_chunks(chunks[:2])
+    v_mid = table.current_version()
+    pipe.replay_chunks(chunks[2:], start_batch=2)
+    v_end = table.current_version()
+
+    truth = _truth_diff(_state(table, v_mid), _state(table, v_end))
+    assert _got_diff(table, v_mid, v_end) == truth
+    assert truth  # the diff is non-trivial (inserts + updates exist)
+    assert {t for t, _ in truth.values()} >= {"insert", "update_postimage"}
+
+
+def test_changes_reads_only_churned_buckets(spark, tmp_path, monkeypatch):
+    table = IceTable.create(
+        spark, str(tmp_path / "t_prune"), TARGET_SCHEMA, key="doc_id", num_buckets=8
+    )
+    def payload(ids, seq):
+        rows = [(d, [1, 2], 2, "s", None, None, None, seq) for d in ids]
+        return spark.createDataFrame(rows, TARGET_SCHEMA).withColumn("op", F.lit("U"))
+
+    table.merge_into(payload([f"d{i}" for i in range(40)], seq=1), batch_id=0)
+    v1 = table.current_version()
+    # second batch touches ONE key → one churned bucket
+    table.merge_into(payload(["d0"], seq=2), batch_id=1)
+    v2 = table.current_version()
+
+    seen = []
+    orig = IceTable._read_state
+
+    def spy(self, snap, buckets=None, schema=None):
+        seen.append(buckets)
+        return orig(self, snap, buckets=buckets, schema=schema)
+
+    monkeypatch.setattr(IceTable, "_read_state", spy)
+    got = {r["doc_id"]: r["_change_type"] for r in table.changes(v1, v2).collect()}
+    assert got == {"d0": "update_postimage"}
+    # both state reads were restricted to the single churned bucket
+    assert len(seen) == 2 and all(b is not None and len(b) == 1 for b in seen)
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    table = IceTable.create(
+        spark, str(tmp_path / "t_evo"), TARGET_SCHEMA, key="doc_id", num_buckets=4
+    )
+    def payload(ids, seq, schema):
+        rows = [
+            tuple([d, [1], 1, "s", None, None, None, seq][: len(schema.fields)])
+            for d in ids
+        ]
+        return spark.createDataFrame(rows, schema).withColumn("op", F.lit("U"))
+
+    table.merge_into(payload(["a", "b"], 1, TARGET_SCHEMA), batch_id=0)
+    v1 = table.current_version()
+    wide = T.StructType(TARGET_SCHEMA.fields + [T.StructField("extra", T.LongType())])
+    table.evolve_schema(wide)
+    rows = [("a", [1], 1, "s", None, None, None, 2, 99)]
+    upd = spark.createDataFrame(rows, wide).withColumn("op", F.lit("U"))
+    table.merge_into(upd, batch_id=1)
+    v2 = table.current_version()
+
+    out = {r["doc_id"]: r for r in table.changes(v1, v2).collect()}
+    assert set(out) == {"a"}
+    assert out["a"]["_change_type"] == "update_postimage"
+    assert out["a"]["extra"] == 99  # TO-version schema, old files cast-projected
+
+
+def test_changes_guards(spark, tmp_path):
+    table = IceTable.create(
+        spark, str(tmp_path / "t_guard"), TARGET_SCHEMA, key="doc_id", num_buckets=4
+    )
+    rows = [("a", [1], 1, "s", None, None, None, 1)]
+    upd = spark.createDataFrame(rows, TARGET_SCHEMA).withColumn("op", F.lit("U"))
+    table.merge_into(upd, batch_id=0)
+    v = table.current_version()
+    assert table.changes(v, v).count() == 0  # identical snapshots → empty
+    with pytest.raises(ValueError):
+        table.changes(v, v - 1)
+
+
+def test_changelog_diff_delete_preimage(spark):
+    schema = "k string, v int, seq long"
+    old = spark.createDataFrame([("a", 1, 10), ("b", 2, 20)], schema)
+    new = spark.createDataFrame([("a", 1, 10)], schema)
+    out = changelog_diff(old, new, key="k", seq="seq").collect()
+    assert [(r["k"], r["v"], r["_change_type"]) for r in out] == [("b", 2, "delete")]
