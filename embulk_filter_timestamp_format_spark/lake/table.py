@@ -187,10 +187,18 @@ class IceTable:
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
             return json.load(f)
 
+    def versions(self) -> list[int]:
+        """Committed versions still present (ascending; expiration leaves
+        gaps below the retention horizon)."""
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
     def history(self) -> list[dict]:
-        v = self.current_version()
         out = []
-        for i in range(1, (v or 0) + 1):
+        for i in self.versions():
             snap = self.snapshot(i)
             out.append(
                 {
@@ -636,6 +644,47 @@ class IceTable:
                     return None  # overlapping writer won — recompute
                 snap = latest
         raise CommitConflict(f"merge commit lost {MAX_COMMIT_RETRIES} races")
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Retention GC — the operation that makes time travel viable at
+        10^10-row scale, where every COW merge rewrites touched buckets
+        and unexpired history grows the data directory without bound.
+
+        Keeps the ``keep_last`` newest snapshots (always ≥ 1); deletes
+        older v<N>.json files, every data file referenced ONLY by expired
+        snapshots, and any orphan parquet in data/ referenced by no
+        retained snapshot (covers files leaked by writers that crashed
+        between data write and commit — the gap _remove_files can't see).
+        Time travel / changes() below the horizon then raise; history()
+        skips the gap.
+
+        Safe against concurrent WRITERS (they only create new versions;
+        the commit fence lives in the latest snapshot, which is always
+        retained). Like Iceberg, it is the caller's contract that no
+        READER still pins an expired version.
+
+        Returns {"snapshots": n_removed, "files": n_removed, "bytes": b}.
+        """
+        vs = self.versions()
+        keep = set(vs[-max(keep_last, 1):])
+        referenced: set[str] = set()
+        for v in keep:
+            referenced |= {f["path"] for f in self.snapshot(v)["files"]}
+        n_snaps = 0
+        for v in vs:
+            if v not in keep:
+                os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
+                n_snaps += 1
+        n_files = n_bytes = 0
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    n_bytes += os.path.getsize(full)
+                    os.remove(full)
+                    n_files += 1
+        return {"snapshots": n_snaps, "files": n_files, "bytes": n_bytes}
 
     def evolve_schema(self, new_schema: T.StructType) -> int:
         """Retype-in-place / add-column schema evolution commit. Existing

@@ -147,3 +147,36 @@ def test_changelog_diff_delete_preimage(spark):
     new = spark.createDataFrame([("a", 1, 10)], schema)
     out = changelog_diff(old, new, key="k", seq="seq").collect()
     assert [(r["k"], r["v"], r["_change_type"]) for r in out] == [("b", 2, "delete")]
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    import os
+
+    table = IceTable.create(
+        spark, str(tmp_path / "t_gc"), TARGET_SCHEMA, key="doc_id", num_buckets=4
+    )
+    def payload(ids, seq):
+        rows = [(d, [1], 1, "s", None, None, None, seq) for d in ids]
+        return spark.createDataFrame(rows, TARGET_SCHEMA).withColumn("op", F.lit("U"))
+
+    for b in range(4):
+        table.merge_into(payload([f"d{i}" for i in range(10)], seq=b + 1), batch_id=b)
+    before = {r["doc_id"]: r["event_seq"] for r in table.read().collect()}
+    v_end = table.current_version()
+
+    # plant an orphan (a crashed writer's leak) — GC must remove it
+    orphan = os.path.join(table.data_dir, "orphan.parquet")
+    open(orphan, "w").write("x")
+
+    stats = table.expire_snapshots(keep_last=2)
+    assert stats["snapshots"] > 0 and stats["files"] > 0
+    assert not os.path.exists(orphan)
+    assert table.versions() == [v_end - 1, v_end]
+    # current state intact; every retained-referenced file still on disk
+    assert {r["doc_id"]: r["event_seq"] for r in table.read().collect()} == before
+    assert table.read(v_end - 1).count() == 10
+    with pytest.raises(FileNotFoundError):
+        table.read(v_end - 2)
+    # history skips the expired gap; fencing still sees the last batch id
+    assert [h["version"] for h in table.history()] == [v_end - 1, v_end]
+    assert table.last_batch_id() == 3
