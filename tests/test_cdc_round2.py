@@ -166,3 +166,30 @@ def test_merge_exhausts_retries_raises(spark, tmp_path, monkeypatch):
     mine = _payload(spark, ["doc_x"], seq=999).withColumn("op", F.lit("U"))
     with pytest.raises(CommitConflict):
         t1.merge_into(mine)
+
+
+# ---------------------------------------------------------------------------
+# multi-source fencing
+# ---------------------------------------------------------------------------
+
+
+def test_batch_fencing_is_per_source(spark, tmp_path):
+    """Two upstream sources merge into one table; each source's batch-id
+    fence is independent (snapshot summary keys batch_ids by source)."""
+    import pyspark.sql.functions as F
+
+    table = _fresh_table(spark, tmp_path)
+    upd_a = _payload(spark, ["a1", "a2"], seq=1).withColumn("op", F.lit("U"))
+    upd_b = _payload(spark, ["b1"], seq=1).withColumn("op", F.lit("U"))
+    table.merge_into(upd_a, batch_id=0, source="binlog_a")
+    # source b's batch 0 must NOT be fenced by source a's batch 0
+    table.merge_into(upd_b, batch_id=0, source="binlog_b")
+    assert set(_table_rows(table)) == {"a1", "a2", "b1"}
+    # re-delivery of a's batch 0 IS fenced (no state change, no version bump)
+    v = table.current_version()
+    dup = _payload(spark, ["a1"], seq=99).withColumn("op", F.lit("U"))
+    table.merge_into(dup, batch_id=0, source="binlog_a")
+    assert table.current_version() == v
+    assert _table_rows(table)["a1"][2] == 1
+    assert table.last_batch_id("binlog_a") == 0
+    assert table.last_batch_id("binlog_b") == 0
