@@ -214,6 +214,30 @@ def q_cdc_lineage_stats(spark, sf_dir):
     )
 
 
+def q_cdc_partition_lineage(spark, sf_dir):
+    """Per-(micro-batch, source-partition) lineage — the metrics-table
+    granularity CdcPipeline records (streaming/cdc.py::_write_metrics_rows);
+    partition = key-hash mod 8, spelled with the oracle-reproducible
+    md5-prefix scheme (the engine itself uses xxhash64 — the assignment
+    rule, not the hash, is the contract)."""
+    ev = _events(spark, sf_dir)
+    part = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(8),
+    )
+    return (
+        ev.groupBy(
+            (F.col("event_id") / 1000).cast("long").alias("batch_id"),
+            part.alias("partition"),
+        ).agg(
+            F.count("*").cast("long").alias("events"),
+            F.min("event_id").cast("long").alias("min_offset"),
+            F.max("event_id").cast("long").alias("max_offset"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("errors"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -317,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_changelog": q_cdc_changelog,
         "cdc_lineage_stats": q_cdc_lineage_stats,
+        "cdc_partition_lineage": q_cdc_partition_lineage,
         "dedup_exact": q_dedup_exact,
         "text_analysis": q_text_analysis,
         "ngram_jaccard": q_ngram_jaccard,
@@ -489,6 +514,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
             FROM events GROUP BY 1""",
+        "cdc_partition_lineage": """
+            SELECT CAST(floor(event_id / 1000) AS BIGINT) AS batch_id,
+                   (('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT % 8) AS partition,
+                   CAST(count(*) AS BIGINT) AS events,
+                   CAST(min(event_id) AS BIGINT) AS min_offset,
+                   CAST(max(event_id) AS BIGINT) AS max_offset,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+            FROM events GROUP BY 1, 2""",
         "dedup_exact": f"""
             WITH fp AS (SELECT doc_id,
                         md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp

@@ -13,8 +13,11 @@ The north-star pipeline:
   (``salt_buckets``) adds a pre-shuffle spread for extreme skew;
 * idempotent batch-id-fenced ``merge_into`` (duplicate delivery of a
   micro-batch after restart is a no-op → exactly-once table state);
-* per-batch lineage (source offset range, op counts, snapshot version)
-  recorded in the snapshot summary and a metrics log.
+* lineage recorded at two granularities from ONE stats pass: per-batch
+  (offset range, op counts, snapshot version) in the snapshot summary +
+  metrics log, and per source partition (key-hash mod P — how a keyed
+  CDC stream assigns partitions) appended to a queryable parquet
+  metrics table (``metrics_table_path``).
 
 At cluster scale the only shuffles per batch are the dedup aggregation
 and the bucketed merge write; both key on doc_id, so AQE coalesces or
@@ -132,6 +135,8 @@ class CdcPipeline:
         salt_buckets: int = 0,
         stop_on_invalid_record: bool = False,
         metrics_path: "str | None" = None,
+        metrics_table_path: "str | None" = None,
+        num_source_partitions: int = 8,
         skew_detect: bool = True,
         skew_threshold: float = 0.05,
         skew_sample_rows: int = 200_000,
@@ -146,6 +151,10 @@ class CdcPipeline:
         self.task.stop_on_invalid_record = stop_on_invalid_record
         self.salt_buckets = salt_buckets
         self.metrics_path = metrics_path
+        # per-partition lineage rows land here as a queryable parquet
+        # metrics table (spark.read.parquet); None disables the write
+        self.metrics_table_path = metrics_table_path
+        self.num_source_partitions = num_source_partitions
         self.metrics: list[dict] = []
         # per-batch count-based hot-key detection (SURVEY §4): when the
         # estimated share of the hottest doc_id exceeds skew_threshold,
@@ -249,7 +258,7 @@ class CdcPipeline:
             F.max("offset").alias("max_offset"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
         ]
-        stats_in = batch_df
+        stats_in = batch_df.select("offset", "op", "doc_id")
         if self.record_invalid:
             if self._invalid_cond is _UNSET:
                 self._invalid_cond = invalid_condition(batch_df.schema, self.task)
@@ -259,25 +268,41 @@ class CdcPipeline:
                 # directly under the hash aggregate it exceeds janino's
                 # 64 KB method limit and silently de-optimizes the stage
                 stats_in = batch_df.select(
-                    "offset", "op", self._invalid_cond.cast("int").alias("__bad")
+                    "offset", "op", "doc_id",
+                    self._invalid_cond.cast("int").alias("__bad"),
                 )
                 aggs.append(F.sum("__bad").alias("invalid"))
-        stats = stats_in.agg(*aggs).collect()[0]
-        if stats["events"] == 0:
+        # per-source-partition lineage in the SAME pass (north-rule
+        # granularity): partition = key-hash mod P, the assignment a keyed
+        # CDC stream (e.g. key-partitioned Kafka topic) would carry. The
+        # groupBy costs nothing extra — P fixed-width groups, map-side
+        # combined; batch totals derive driver-side from ≤ P rows.
+        pstats = [
+            r.asDict()
+            for r in stats_in.withColumn(
+                "__part",
+                F.pmod(F.xxhash64("doc_id"), F.lit(self.num_source_partitions)),
+            )
+            .groupBy("__part")
+            .agg(*aggs)
+            .collect()
+        ]
+        if not pstats:
             return None
-        n_bad = stats["invalid"] if "invalid" in stats.asDict() else 0
+        n_bad = sum(r.get("invalid") or 0 for r in pstats)
         if self.task.stop_on_invalid_record and n_bad:
             raise InvalidRecordError(
                 f"batch {batch_id}: {n_bad} unparseable record(s); aborting before commit"
             )
 
+        events = sum(r["events"] for r in pstats)
         salt = self.salt_buckets
         if self.skew_detect and not salt:
             if (
                 self._batches_since_probe is None
                 or self._batches_since_probe >= self.skew_probe_interval
             ):
-                self._last_salt = self._detect_skew(batch_df, stats["events"])
+                self._last_salt = self._detect_skew(batch_df, events)
                 self._batches_since_probe = 0
             self._batches_since_probe += 1
             salt = self._last_salt
@@ -303,8 +328,15 @@ class CdcPipeline:
         )
         if version is None:
             return None  # empty batch: nothing merged, nothing committed
-        lineage.update(stats.asDict())
-        lineage.setdefault("invalid", 0)
+        lineage.update(
+            {
+                "events": events,
+                "min_offset": min(r["min_offset"] for r in pstats),
+                "max_offset": max(r["max_offset"] for r in pstats),
+                "deletes": sum(r["deletes"] for r in pstats),
+                "invalid": n_bad,
+            }
+        )
         lineage["salt_buckets"] = salt
         lineage["snapshot_version"] = version
         lineage["dedup_sec"] = round(t_dedup - t0, 3)
@@ -314,7 +346,44 @@ class CdcPipeline:
         if self.metrics_path:
             with open(self.metrics_path, "a") as f:
                 f.write(json.dumps(lineage) + "\n")
+        if self.metrics_table_path:
+            self._write_metrics_rows(pstats, batch_id, version, salt)
         return version
+
+    def _write_metrics_rows(
+        self, pstats: list[dict], batch_id: int, version: int, salt: int
+    ) -> None:
+        """Per-partition lineage rows → the parquet metrics table
+        (queryable with spark.read.parquet). Written driver-side with
+        pyarrow: ≤ num_source_partitions rows per batch, so a Spark write
+        action here would only add ~0.5 s to the per-batch serial floor."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.metrics_table_path, exist_ok=True)
+        now = time.time()
+        n = len(pstats)
+        cols = {
+            "batch_id": pa.array([batch_id] * n, pa.int64()),
+            "source": pa.array([self.source_name] * n, pa.string()),
+            "partition": pa.array([r["__part"] for r in pstats], pa.int64()),
+            "events": pa.array([r["events"] for r in pstats], pa.int64()),
+            "min_offset": pa.array([r["min_offset"] for r in pstats], pa.int64()),
+            "max_offset": pa.array([r["max_offset"] for r in pstats], pa.int64()),
+            "deletes": pa.array([r["deletes"] for r in pstats], pa.int64()),
+            "invalid": pa.array([r.get("invalid") or 0 for r in pstats], pa.int64()),
+            "salt_buckets": pa.array([salt] * n, pa.int64()),
+            "snapshot_version": pa.array([version] * n, pa.int64()),
+            "wall_time": pa.array([now] * n, pa.float64()),
+        }
+        pq.write_table(
+            pa.table(cols),
+            os.path.join(
+                self.metrics_table_path, f"b{batch_id}_{uuid.uuid4().hex[:8]}.parquet"
+            ),
+        )
 
     # ------------------------------------------------------------------
 

@@ -193,3 +193,47 @@ def test_batch_fencing_is_per_source(spark, tmp_path):
     assert _table_rows(table)["a1"][2] == 1
     assert table.last_batch_id("binlog_a") == 0
     assert table.last_batch_id("binlog_b") == 0
+
+
+# ---------------------------------------------------------------------------
+# per-partition lineage metrics table
+# ---------------------------------------------------------------------------
+
+
+def test_per_partition_lineage_metrics_table(spark, tmp_path):
+    """CdcPipeline records per-(batch, source-partition) lineage rows to a
+    queryable parquet metrics table; partition sums reconcile with the
+    batch-level lineage and the raw batch."""
+    import pyspark.sql.functions as F
+    from embulk_filter_timestamp_format_spark.sources.binlog import generate_binlog
+
+    binlog = str(tmp_path / "binlog")
+    chunks = generate_binlog(spark, binlog, 1200, 200, num_chunks=2)
+    table = _fresh_table(spark, tmp_path)
+    mpath = str(tmp_path / "metrics_table")
+    pipe = CdcPipeline(spark, table, metrics_table_path=mpath, num_source_partitions=4)
+    pipe.replay_chunks(chunks)
+
+    m = spark.read.parquet(mpath)
+    rows = m.collect()
+    assert {r["batch_id"] for r in rows} == {0, 1}
+    assert all(0 <= r["partition"] < 4 for r in rows)
+    assert all(r["source"] == "binlog" for r in rows)
+    # per-partition events/deletes reconcile with the batch lineage
+    for b, lin in enumerate(pipe.metrics):
+        batch_rows = [r for r in rows if r["batch_id"] == b]
+        assert sum(r["events"] for r in batch_rows) == lin["events"]
+        assert sum(r["deletes"] for r in batch_rows) == lin["deletes"]
+        assert min(r["min_offset"] for r in batch_rows) == lin["min_offset"]
+        assert max(r["max_offset"] for r in batch_rows) == lin["max_offset"]
+        assert all(r["snapshot_version"] == lin["snapshot_version"] for r in batch_rows)
+    # partition assignment matches the documented rule (xxhash64 mod P)
+    raw = spark.read.parquet(chunks[0])
+    truth = {
+        (r["p"], ): r["n"]
+        for r in raw.groupBy(
+            F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("p")
+        ).count().withColumnRenamed("count", "n").collect()
+    }
+    got = {(r["partition"],): r["events"] for r in rows if r["batch_id"] == 0}
+    assert got == truth
