@@ -288,12 +288,12 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs — exact all-pairs verification
-    baseline (oracle-checkable) over a bounded sample (vec_id < 2000:
-    all of sf0.01/sf0.1, fixed 2000-vector sample beyond — the quadratic
+    baseline (oracle-checkable) over a bounded sample (vec_id < 1000:
+    all of sf0.01, a fixed 1000-vector sample beyond — the quadratic
     exact pass is sample-only by design, same bound in the oracle); the
     LSH banded variant is the full-corpus scale path (containment +
     recall vs this baseline in test_operators)."""
-    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 2000)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 1000)
     return S.embedding_neardup_pairs(emb, threshold=0.4, method="exact")
 
 
@@ -593,7 +593,7 @@ def oracle_sql() -> dict[str, str]:
             WITH nv AS (
               SELECT vec_id, embedding,
                      sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-              FROM embeddings WHERE vec_id < 2000)
+              FROM embeddings WHERE vec_id < 1000)
             SELECT id_a, id_b, round(sim, 6) AS cos_sim FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      list_sum(list_transform(range(1, len(a.embedding) + 1),

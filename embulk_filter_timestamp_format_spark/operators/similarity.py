@@ -188,18 +188,16 @@ def embedding_neardup_pairs(
         _norm(F.col(vec_col)).alias("_nrm"),
     )
     if method == "exact":
-        a = base.select(
-            F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na")
+        # candidate (id_a < id_b) pairs generated from SLIM id rows — the
+        # theta-join must NOT see the vectors, or Catalyst pushes the
+        # similarity predicate into the BroadcastNestedLoopJoin condition,
+        # where it is evaluated INTERPRETED per pair (measured 40× slower
+        # than the codegen'd post-hash-join verify below)
+        ids = base.select("_id")
+        cand = ids.select(F.col("_id").alias("id_a")).join(
+            ids.select(F.col("_id").alias("id_b")), F.col("id_a") < F.col("id_b")
         )
-        b = base.select(
-            F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb")
-        )
-        sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        return (
-            a.join(b, F.col("id_a") < F.col("id_b"))
-            .filter(sim >= threshold)
-            .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
-        )
+        return _verify_pairs(cand, base, threshold)
     if method != "lsh":
         raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
 
@@ -223,6 +221,19 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _verify_pairs(cand, base, threshold)
+
+
+def _verify_pairs(cand: DataFrame, base: DataFrame, threshold: float) -> DataFrame:
+    """Exact-cosine verify of candidate (id_a, id_b) pairs: vectors
+    hash-join back once per pair; the predicate folds into the top
+    BroadcastHashJoin's extra condition, where the HOF fold evaluates
+    ~3× faster than a 64-term unrolled arithmetic tree (ArrayAggregate
+    interprets one loop; the unrolled tree pays per-node dispatch ×
+    casts in the interpreted join-condition context — measured 3.8 s vs
+    10.8 s per 500k pairs; both are ~10× better than letting Catalyst
+    push the predicate into the slim pair join as a
+    BroadcastNestedLoopJoin condition over the VECTOR-carrying rows)."""
     a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
     sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
