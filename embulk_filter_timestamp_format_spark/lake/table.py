@@ -645,6 +645,49 @@ class IceTable:
                 snap = latest
         raise CommitConflict(f"merge commit lost {MAX_COMMIT_RETRIES} races")
 
+    def compact(self, buckets: "set[int] | None" = None) -> "int | None":
+        """Manual merge-on-read compaction: fold the delta chains of
+        ``buckets`` (default: every bucket holding deltas) into fresh
+        base files in one commit (operation='compact'). The inline
+        adaptive compaction already bounds read amplification to
+        ``compact_threshold`` files per bucket; this is the maintenance
+        entry point for squeezing it to 1 ahead of read-heavy workloads.
+        State-invariant by construction — changes() across a compaction
+        commit is empty. Returns the committed version (None when the
+        selected buckets hold no deltas)."""
+        for _ in range(MAX_COMMIT_RETRIES):
+            snap = self.snapshot()
+            spec = snap["spec"]
+            delta_buckets = {f["bucket"] for f in snap["files"] if f.get("delta")}
+            todo = delta_buckets if buckets is None else delta_buckets & set(buckets)
+            if not todo:
+                return None
+            schema = T.StructType.fromJson(snap["schema"])
+            base = self._read_projected(
+                [f for f in snap["files"] if not f.get("delta") and f["bucket"] in todo],
+                schema,
+            )
+            deltas = self._read_projected(
+                [f for f in snap["files"] if f.get("delta") and f["bucket"] in todo],
+                schema,
+                with_op=True,
+            )
+            merged = self._merge_mor(base, deltas, spec["key"], spec.get("seq", "event_seq"))
+            entries = self._write_data_files(
+                merged, spec["key"], spec["num_buckets"], snap["schema_version"]
+            )
+            new = self._child(snap, "compact")
+            new["files"] = [f for f in snap["files"] if f["bucket"] not in todo] + entries
+            new["summary"]["compacted_buckets"] = sorted(todo)
+            try:
+                self._write_snapshot(new)
+                return new["version"]
+            except CommitConflict:
+                # a concurrent commit may have rewritten or extended the
+                # chains we folded — drop our files and recompute
+                self._remove_files(entries)
+        raise CommitConflict(f"compact lost {MAX_COMMIT_RETRIES} commit races")
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Retention GC — the operation that makes time travel viable at
         10^10-row scale, where every COW merge rewrites touched buckets

@@ -147,3 +147,23 @@ def test_mor_deletes_are_tombstones(spark, tmp_path):
     # the tombstone is physically present in a delta file (merge-on-read)
     snap = mor.snapshot()
     assert sum(1 for f in snap["files"] if f.get("delta")) >= 2
+
+
+def test_manual_compact_is_state_invariant(spark, binlog_dir, tmp_path):
+    """compact() folds every delta chain to base files in one commit;
+    state is unchanged and the changelog across the compaction commit is
+    empty (file sets churn, contents don't)."""
+    t = _table(spark, tmp_path, "manual_compact", write_mode="mor", compact_threshold=1000)
+    CdcPipeline(spark, t).replay_chunks(_chunks(binlog_dir))
+    before = _rows(t)
+    v1 = t.current_version()
+    assert any(f.get("delta") for f in t.snapshot()["files"])
+
+    v2 = t.compact()
+    assert v2 == v1 + 1
+    snap = t.snapshot()
+    assert not any(f.get("delta") for f in snap["files"])
+    assert snap["summary"]["operation"] == "compact"
+    assert _rows(t) == before
+    assert t.changes(v1, v2).count() == 0  # state-invariant commit
+    assert t.compact() is None  # nothing left to fold
