@@ -273,6 +273,9 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """Multiprobe hyperplane-LSH ANN. The md5-Rademacher planes make the
+    whole pipeline (signature, Hamming-2 multiprobe, exact re-rank)
+    reproducible in the SQL oracle — see _ann_lsh_sql."""
     return S.lsh_ann_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
 
 
@@ -404,6 +407,60 @@ def _cos_sql(a: str, b: str) -> str:
     na = f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
     nb = f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))"
     return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def _ann_lsh_sql(num_planes: int = 6, seed: int = 11, k: int = 5, probe_hamming: int = 2) -> str:
+    """DuckDB twin of operators.similarity.lsh_ann_topk with the default
+    md5-Rademacher planes: signature → multiprobe bucket join → exact
+    re-rank — the WHOLE ANN pipeline, SQL-exact (plane component i of
+    plane p = parity of md5('plane:seed:p:i'), identical to
+    similarity.plane_sign)."""
+
+    def sgn(p: int) -> str:
+        key = f"'plane:{seed}:{p}:' || (i - 1)::VARCHAR"
+        return (
+            f"(CASE WHEN (('0x' || substring(md5({key}), 1, 15))::BIGINT % 2) = 1 "
+            f"THEN 1.0 ELSE -1.0 END)"
+        )
+
+    def plane_dot(p: int, v: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({v}) + 1), "
+            f"i -> {v}[i]::DOUBLE * {sgn(p)}))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dot(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << p for p in range(num_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << p1) | (1 << p2)
+            for p1 in range(num_planes)
+            for p2 in range(p1 + 1, num_planes)
+        ]
+    mask_list = "[" + ", ".join(str(m) for m in masks) + "]"
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+          FROM sig WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, qv, xor(qbucket, m.mask::BIGINT) AS bucket
+          FROM q, (SELECT unnest({mask_list}) AS mask) m),
+        scored AS (
+          SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id,
+                 {_cos_sql('p.qv', 's.embedding')} AS cos_sim
+          FROM sig s JOIN probes p USING (bucket)
+          WHERE s.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, rank, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored) WHERE rank <= {k}"""
 
 
 def _lang_case() -> str:
@@ -642,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         # IVF ANN: centroid pick / assignment / probing / re-rank all
         # deterministic (md5 hash sample + rounded-cosine ranking) → the
         # whole pipeline has an exact SQL twin.
+        "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": f"""
             WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
                        WHERE (('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT) % 32 = 0),

@@ -245,15 +245,23 @@ def _verify_pairs(cand: DataFrame, base: DataFrame, threshold: float) -> DataFra
     )
 
 
-def _pseudo_plane(dim: int, plane: int, seed: int):
-    """Deterministic pseudo-random hyperplane: component j of plane p =
-    ±1 from the parity of a hash — array<double> literal-free, computed
-    once per plan (constant-folded by Catalyst)."""
-    import numpy as np
+def plane_sign(seed: int, plane: int, i: int) -> float:
+    """Component i of Rademacher hyperplane ``plane``: ±1 from the
+    parity of a 60-bit md5 prefix. Oracle-reproducible in DuckDB as
+    ``(('0x' || substring(md5('plane:SEED:P:' || i), 1, 15))::BIGINT % 2)``
+    — random-sign projections are a valid sign-LSH family (E[s·v] per
+    plane is a 1-sub-Gaussian projection), and the hash derivation makes
+    the WHOLE ANN pipeline SQL-checkable."""
+    import hashlib
 
-    rng = np.random.default_rng(seed * 1000 + plane)
-    vec = rng.standard_normal(dim)
-    return F.array(*[F.lit(float(x)) for x in vec])
+    h = hashlib.md5(f"plane:{seed}:{plane}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[:15], 16) % 2 == 1 else -1.0
+
+
+def _pseudo_plane(dim: int, plane: int, seed: int):
+    """Deterministic Rademacher hyperplane as a literal array — computed
+    once per plan (constant-folded by Catalyst)."""
+    return F.array(*[F.lit(plane_sign(seed, plane, i)) for i in range(dim)])
 
 
 def lsh_ann_topk(
