@@ -103,14 +103,25 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    # norms staged once per row / per centroid BELOW the assignment cross
+    # join — otherwise every (row, centroid) pair recomputes both HOF
+    # norms (num_centroids× redundant work on the big side); the staged
+    # arithmetic (dot / (nrm_row * nrm_cent)) is op-for-op the oracle's
+    base = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
     cents = F.broadcast(
-        df.filter(F.pmod(h, F.lit(centroid_stride)) == 0).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        base.filter(F.pmod(h, F.lit(centroid_stride)) == 0).select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            F.col("_nrm").alias("_cnrm"),
         )
     )
 
-    csim = F.round(cosine(F.col(vec_col), F.col("cv")), 6)
-    scored_c = df.join(cents).select(id_col, F.col("cid"), csim.alias("csim"))
+    csim = F.round(
+        _dot(F.col(vec_col), F.col("cv")) / (F.col("_nrm") * F.col("_cnrm")), 6
+    )
+    scored_c = base.join(cents).select(id_col, F.col("cid"), csim.alias("csim"))
     # argmax as max + join-back + min — three fixed-width HashAggregates
     # and a slim join (max(struct) / max_by(struct ordering) both compile
     # to SortAggregate, sorting the big side); ties broken toward the
