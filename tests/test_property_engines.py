@@ -1,0 +1,86 @@
+"""Property-based dual-engine equivalence (hypothesis): for random
+format strings drawn from the supported ruby directive pool and random
+epoch instants (1677–2262, the int64-nanos span, negatives included),
+the Catalyst expression engine and the Arrow/numpy engine must produce
+IDENTICAL output — formatting, and parse-of-formatted round trips.
+
+This is the §5 test-strategy complement to the golden files: goldens pin
+the reference's exact outputs; these properties pin the two engines to
+each other over a much larger input space."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from embulk_filter_timestamp_format_spark.functions.format import TimestampFormatterPlan
+from embulk_filter_timestamp_format_spark.functions.parse import TimestampParserPlan
+
+# directives the ruby tokenizer supports for BOTH rendering and (where
+# used in the parse property) parsing; separators avoid regex traps
+FMT_POOL = [
+    "%Y", "%m", "%d", "%H", "%M", "%S", "%y", "%j", "%N", "%3N", "%6N",
+    "%z", "%p", "%I", "%L", "%e", "%k", "%a", "%A", "%b", "%B",
+]
+SEPS = [" ", "-", ":", "/", "T", "."]
+
+# int64-nanos representable span (numpy datetime64[ns]): ±~292 years
+NANO_LO = -9_200_000_000 * 10**9
+NANO_HI = 9_200_000_000 * 10**9
+
+fmt_strategy = st.builds(
+    lambda parts, seps: "".join(
+        p + s for p, s in zip(parts, seps + [""])
+    ),
+    st.lists(st.sampled_from(FMT_POOL), min_size=3, max_size=6),
+    st.lists(st.sampled_from(SEPS), min_size=2, max_size=5),
+)
+
+epochs_strategy = st.lists(
+    st.integers(min_value=NANO_LO, max_value=NANO_HI), min_size=4, max_size=12
+)
+
+
+@pytest.mark.parametrize("dummy", [0])  # keep the spark fixture session-scoped
+@given(fmt=fmt_strategy, epochs=epochs_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_formatter_engines_agree(spark, dummy, fmt, epochs):
+    plan = TimestampFormatterPlan(fmt, "UTC")
+    df = spark.createDataFrame([(int(e),) for e in epochs], "nanos long")
+    cat = [r["s"] for r in df.select(plan.format_expr(F.col("nanos")).alias("s")).collect()]
+    npy = list(plan.format_np(np.array(epochs, dtype=np.int64)))
+    assert cat == npy, f"engine divergence for {fmt!r}"
+
+
+# a lossless format: full date+time+nanos+offset — formatting then
+# parsing must return the exact instant in BOTH engines
+LOSSLESS = "%Y-%m-%d %H:%M:%S.%N %z"
+
+
+@pytest.mark.parametrize("dummy", [0])
+@given(epochs=epochs_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lossless_roundtrip_both_engines(spark, dummy, epochs):
+    import pandas as pd
+
+    fplan = TimestampFormatterPlan(LOSSLESS, "UTC")
+    pplan = TimestampParserPlan([LOSSLESS], "UTC")
+    df = spark.createDataFrame([(int(e),) for e in epochs], "nanos long")
+    rt = df.select(
+        "nanos",
+        pplan.parse_expr(fplan.format_expr(F.col("nanos"))).alias("back"),
+    ).collect()
+    assert all(r["back"] == r["nanos"] for r in rt)
+
+    strings = fplan.format_np(np.array(epochs, dtype=np.int64))
+    back, valid = pplan.parse_np(pd.Series(strings))
+    assert valid.all()
+    assert list(back) == [int(e) for e in epochs]
