@@ -22,6 +22,15 @@ Engines (both produce epoch-nanos int64; verified identical in tests):
 
 Parse failure of all formats yields NULL (the engine's error policy layer
 decides warn-vs-abort, mirroring stop_on_invalid_record).
+
+Instants are bounded to |epoch seconds| ≤ MAX_INSTANT_SEC (int64-nanos
+representation); out-of-range wall times / epochs are INVALID records in
+both engines. Known engine-divergence domain (cross-engine fuzz):
+DST-rule ``from_timezone`` zones resolve through the JVM tz database on
+the Catalyst side but Python zoneinfo on the Arrow side — offsets can
+differ for pre-standardization history (LMT seconds, pre-1883) and
+post-2037 DST extrapolation. Identical on 1970–2037 data and on every
+fixed-offset or DST-free zone.
 """
 
 from __future__ import annotations
@@ -62,6 +71,14 @@ _MONTH_FULL = [
 
 _OFFSET_RE = r"[+-]\d{2}(?::?\d{2})?(?::?\d{2})?"
 _NAME_RE = r"[A-Za-z]{1,5}"
+
+# engine instant range: the internal representation is int64 epoch-NANOS
+# (±~292 years). Instants beyond |MAX_INSTANT_SEC| seconds are INVALID
+# records in both engines — without the guard, the ×1e9 lift overflows
+# (ANSI ArithmeticException killing the whole batch on the Catalyst
+# side, silent int64 wrap-around on the numpy side). The margin below
+# the true 9.223e9 bound absorbs timezone shifts at the boundary.
+MAX_INSTANT_SEC = 9_100_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -252,8 +269,12 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
         ).otherwise(F.lit(0).cast("long"))
 
     if ep is not None:
-        nanos = gi(ep).cast("long") * F.lit(1_000_000_000) + frac_nanos
-        return F.when(matched, nanos).otherwise(F.lit(None).cast("long"))
+        # long, not int: %s epochs past 2^31 (year 2038+) are valid; the
+        # range guard keeps the ×1e9 lift inside int64 (ANSI-safe)
+        es = F.trim(g(ep)).try_cast("long")
+        ep_ok = es.between(-MAX_INSTANT_SEC, MAX_INSTANT_SEC)
+        nanos = F.when(ep_ok, es) * F.lit(1_000_000_000) + frac_nanos
+        return F.when(matched & ep_ok, nanos).otherwise(F.lit(None).cast("long"))
 
     # --- civil date ---
     y4, y2, cen = first(FT.Y4), first(FT.Y2), first(FT.CENTURY)
@@ -379,8 +400,9 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
     else:
         utc_sec = _apply_from_tz_col(naive_sec, from_tz)
 
-    nanos = utc_sec * F.lit(1_000_000_000) + frac_nanos
-    ok = valid_date & valid_time & matched
+    in_range = utc_sec.between(-MAX_INSTANT_SEC, MAX_INSTANT_SEC)
+    nanos = F.when(in_range, utc_sec) * F.lit(1_000_000_000) + frac_nanos
+    ok = valid_date & valid_time & matched & in_range
     return F.when(ok, nanos).otherwise(F.lit(None).cast("long"))
 
 
@@ -501,9 +523,15 @@ def np_parse_format(s: pd.Series, pf: ParsedFormat, from_tz: str) -> tuple[np.nd
 
     ep = colnum(FT.EPOCH)
     if ep is not None:
-        sec = ep.fillna(0).to_numpy(dtype=np.int64)
+        # float64 staging: pd.to_numeric of a >int64 epoch yields float,
+        # and a float→int64 cast of huge values is UB; range-check first
+        # (valid epochs ≤ MAX_INSTANT_SEC are < 2^53 → float-exact)
+        bad = ep.isna().to_numpy()
+        epf = ep.fillna(0).to_numpy(dtype=np.float64)
+        out_rng = np.abs(epf) > MAX_INSTANT_SEC
+        sec = np.where(out_rng, 0, epf).astype(np.int64)
         nanos = sec * 1_000_000_000 + frac_nanos
-        return nanos, invalid | ep.isna().to_numpy()
+        return nanos, invalid | bad | out_rng
 
     y4, y2, cen = colnum(FT.Y4), colnum(FT.Y2), colnum(FT.CENTURY)
     gyn = colnum(FT.GYEAR)
@@ -617,8 +645,11 @@ def np_parse_format(s: pd.Series, pf: ParsedFormat, from_tz: str) -> tuple[np.nd
     else:
         utc_sec = _np_apply_from_tz(naive_sec, from_tz)
 
-    nanos = utc_sec * 1_000_000_000 + frac_nanos
-    return nanos, invalid
+    # instant-range guard: keeps the ×1e9 lift inside int64 (the numpy
+    # twin of the Catalyst in_range mask — silent wrap otherwise)
+    out_rng = np.abs(utc_sec) > MAX_INSTANT_SEC
+    nanos = np.where(out_rng, 0, utc_sec) * 1_000_000_000 + frac_nanos
+    return nanos, invalid | out_rng
 
 
 def _np_apply_from_tz(naive_sec: np.ndarray, from_tz: str) -> np.ndarray:
@@ -626,9 +657,22 @@ def _np_apply_from_tz(naive_sec: np.ndarray, from_tz: str) -> np.ndarray:
     if off is not None:
         return naive_sec - off
     # DST zone: localize wall-clock seconds via pandas/zoneinfo
-    idx = pd.DatetimeIndex(naive_sec.astype("datetime64[s]"))
-    localized = idx.tz_localize(from_tz, ambiguous=True, nonexistent="shift_forward")
-    return localized.tz_convert("UTC").asi8 // 1_000_000_000
+    # clip into the pandas Timestamp span for the localize call; clipped
+    # rows are out of the engine instant range and flagged invalid by the
+    # caller's MAX_INSTANT_SEC check (the clipped stand-in stays huge)
+    safe = np.clip(naive_sec, -9_200_000_000, 9_200_000_000)
+    idx = pd.DatetimeIndex(safe.astype("datetime64[s]"))
+    # PEP-495 fold=0 semantics to match the Catalyst/Joda side: a wall
+    # time inside a spring-forward gap takes the PRE-gap offset.
+    # shift_backward lands on the last valid wall second; adding the
+    # shifted-away delta back reconstructs the fold=0 instant (delta = 0
+    # for every normal wall time). ambiguous=True picks the first
+    # (DST) occurrence of fall-back duplicates, as Spark does.
+    loc = idx.tz_localize(from_tz, ambiguous=True, nonexistent="shift_backward")
+    # asi8 is in the index's OWN resolution — seconds here, NOT nanos
+    wall = loc.tz_localize(None).asi8.astype(np.int64)
+    utc = (loc.tz_convert("UTC").asi8 + (safe - wall)).astype(np.int64)
+    return np.where(np.abs(naive_sec) > 9_200_000_000, naive_sec, utc)
 
 
 def np_parse(s: pd.Series, pfs: list[ParsedFormat], from_tz: str) -> tuple[np.ndarray, np.ndarray]:

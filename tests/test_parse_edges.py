@@ -206,3 +206,46 @@ def test_non_utc_session_rejected(spark):
             fmt.format_expr(F.lit(0).cast("long"))
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# instant-range guard + DST from_timezone parity (round-2 fuzz findings)
+# ---------------------------------------------------------------------------
+
+
+def _parse_numpy(parser, values):
+    nanos, valid = parser.parse_np(pd.Series(values))
+    return [int(v) if ok else None for v, ok in zip(nanos, valid)]
+
+
+def test_dst_from_timezone_numpy_matches_catalyst(spark):
+    """The numpy DST-zone path returned asi8 (already seconds) divided by
+    1e9 — garbage for every DST from_timezone on the Arrow engine."""
+    p = TimestampParserPlan(["%Y-%m-%d %H:%M:%S"], "America/New_York")
+    vals = ["2023-11-14 22:13:20", "2023-07-01 10:00:00", "2023-03-12 02:30:00"]
+    cat = _parse_catalyst(spark, p, vals)
+    npy = _parse_numpy(p, vals)
+    assert cat == npy
+    assert cat[0] == (1700000000 + 18000) * 10**9  # EST: wall + 5h
+    assert cat[1] == (1688205600 + 14400) * 10**9  # EDT: wall + 4h
+
+
+def test_out_of_range_civil_invalid_not_crash(spark):
+    """Year 9999 exceeds the int64-nanos span: must be an INVALID record
+    in both engines — previously an ANSI ArithmeticException killed the
+    whole Catalyst batch and numpy wrapped silently."""
+    p = TimestampParserPlan(["%Y-%m-%d %H:%M:%S"], "UTC")
+    vals = ["9999-12-31 23:59:59", "2023-11-14 22:13:20"]
+    cat = _parse_catalyst(spark, p, vals)
+    npy = _parse_numpy(p, vals)
+    assert cat == npy == [None, 1700000000 * 10**9]
+
+
+def test_epoch_seconds_past_2038_and_range(spark):
+    """%s must accept epochs beyond 2^31 (the group was cast to INT) and
+    reject epochs beyond the instant range without overflow."""
+    p = TimestampParserPlan(["%s"], "UTC")
+    vals = ["4102444800", "1700000000", "9999999999999999999", "-9999999999"]
+    cat = _parse_catalyst(spark, p, vals)
+    npy = _parse_numpy(p, vals)
+    assert cat == npy == [4102444800 * 10**9, 1700000000 * 10**9, None, None]

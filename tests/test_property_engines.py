@@ -24,9 +24,9 @@ FMT_POOL = [
 ]
 SEPS = [" ", "-", ":", "/", "T", "."]
 
-# int64-nanos representable span (numpy datetime64[ns]): ±~292 years
-NANO_LO = -9_200_000_000 * 10**9
-NANO_HI = 9_200_000_000 * 10**9
+# engine instant span (parse.MAX_INSTANT_SEC guard): ±~288 years
+NANO_LO = -9_000_000_000 * 10**9
+NANO_HI = 9_000_000_000 * 10**9
 
 fmt_strategy = st.builds(
     lambda parts, seps: "".join(
