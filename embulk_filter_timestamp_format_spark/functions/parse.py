@@ -235,7 +235,13 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
     repl = _MARK + _SEP.join(f"${i + 1}" for i in range(len(fields)))
     marked = F.regexp_replace(col, pattern, repl)
     matched = marked.startswith(_MARK)
-    parts = F.split(F.substring(marked, 2, 1_000_000), _SEP, -1)
+    # gate the field array on the match sentinel: a non-match passes the
+    # ORIGINAL text through regexp_replace, and without the gate its tail
+    # leaks into group 1 (e.g. a 9-digit run becomes month=19999901,
+    # whose 153*mp int arithmetic overflows under ANSI even though
+    # `matched` is false — CSE can evaluate branches eagerly). NULL array
+    # → every field NULL → null-safe arithmetic → NULL result.
+    parts = F.when(matched, F.split(F.substring(marked, 2, 1_000_000), _SEP, -1))
 
     def g(fr: FieldRef) -> Column:
         return F.try_element_at(parts, F.lit(fr.group))

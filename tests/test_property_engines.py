@@ -56,6 +56,57 @@ def test_formatter_engines_agree(spark, dummy, fmt, epochs):
     assert cat == npy, f"engine divergence for {fmt!r}"
 
 
+PARSE_POOL = [
+    "%Y", "%m", "%d", "%H", "%M", "%S", "%y", "%j", "%N", "%3N", "%6N",
+    "%z", "%p", "%I", "%L", "%s",
+]
+MUTS = ["", "x", "99999", " ", "0", "-"]
+
+
+@pytest.mark.parametrize("dummy", [0])
+@given(
+    fmt=st.builds(
+        lambda parts, seps: "".join(p + s for p, s in zip(parts, seps + [""])),
+        st.lists(st.sampled_from(PARSE_POOL), min_size=2, max_size=5),
+        st.lists(st.sampled_from(SEPS), min_size=1, max_size=4),
+    ),
+    epochs=st.lists(
+        st.integers(min_value=NANO_LO, max_value=NANO_HI), min_size=3, max_size=6
+    ),
+    data=st.data(),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_parser_engines_agree_on_valid_and_mutated(spark, dummy, fmt, epochs, data):
+    """Render valid strings via the formatter, mutate some, add garbage:
+    the two parse engines must agree on every value AND every validity
+    decision. UTC from_tz only — DST-rule zones resolve through two
+    different tz databases (documented divergence domain in parse.py)."""
+    import pandas as pd
+
+    try:
+        fplan = TimestampFormatterPlan(fmt, "UTC")
+        pplan = TimestampParserPlan([fmt], "UTC")
+    except ValueError:
+        return  # unformattable/unparseable directive mix — out of scope
+    strings = list(fplan.format_np(np.array(epochs, dtype=np.int64)))
+    mutated = []
+    for s in strings:
+        chars = list(s)
+        idx = data.draw(st.integers(min_value=0, max_value=max(len(chars) - 1, 0)))
+        chars[idx] = data.draw(st.sampled_from(MUTS))
+        mutated.append("".join(chars))
+    allstr = strings + mutated + ["", "garbage", "99999999999999999999"]
+    df = spark.createDataFrame([(s,) for s in allstr], "s string")
+    cat = [r["n"] for r in df.select(pplan.parse_expr(F.col("s")).alias("n")).collect()]
+    nanos, valid = pplan.parse_np(pd.Series(allstr))
+    npy = [int(v) if ok else None for v, ok in zip(nanos, valid)]
+    assert cat == npy, f"parser divergence for {fmt!r}"
+
+
 # a lossless format: full date+time+nanos+offset — formatting then
 # parsing must return the exact instant in BOTH engines
 LOSSLESS = "%Y-%m-%d %H:%M:%S.%N %z"
