@@ -23,9 +23,8 @@ Engines (both produce epoch-nanos int64; verified identical in tests):
 Parse failure of all formats yields NULL (the engine's error policy layer
 decides warn-vs-abort, mirroring stop_on_invalid_record).
 
-Instants are bounded to |epoch seconds| ≤ MAX_INSTANT_SEC (int64-nanos
-representation); out-of-range wall times / epochs are INVALID records in
-both engines. Known engine-divergence domain (cross-engine fuzz):
+Instants are bounded to int64-nanos representability (±~292 years);
+out-of-range wall times / epochs are INVALID records in both engines. Known engine-divergence domain (cross-engine fuzz):
 DST-rule ``from_timezone`` zones resolve through the JVM tz database on
 the Catalyst side but Python zoneinfo on the Arrow side — offsets can
 differ for pre-standardization history (LMT seconds, pre-1883) and
@@ -73,12 +72,14 @@ _OFFSET_RE = r"[+-]\d{2}(?::?\d{2})?(?::?\d{2})?"
 _NAME_RE = r"[A-Za-z]{1,5}"
 
 # engine instant range: the internal representation is int64 epoch-NANOS
-# (±~292 years). Instants beyond |MAX_INSTANT_SEC| seconds are INVALID
-# records in both engines — without the guard, the ×1e9 lift overflows
-# (ANSI ArithmeticException killing the whole batch on the Catalyst
-# side, silent int64 wrap-around on the numpy side). The margin below
-# the true 9.223e9 bound absorbs timezone shifts at the boundary.
-MAX_INSTANT_SEC = 9_100_000_000
+# (±~292 years). Instants that don't fit are INVALID records in both
+# engines — without the guard, the ×1e9 lift overflows (ANSI
+# ArithmeticException killing the whole batch on the Catalyst side,
+# silent int64 wrap-around on the numpy side). The bound is the EXACT
+# int64 representability of sec·1e9+frac: Catalyst via try_multiply/
+# try_add NULLs (single-reference — a between() guard would duplicate
+# the civil assembly under CaseWhen and blow the 64 KB codegen limit),
+# numpy via _nanos_overflow.
 
 
 # ---------------------------------------------------------------------------
@@ -235,19 +236,31 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
     repl = _MARK + _SEP.join(f"${i + 1}" for i in range(len(fields)))
     marked = F.regexp_replace(col, pattern, repl)
     matched = marked.startswith(_MARK)
-    # gate the field array on the match sentinel: a non-match passes the
-    # ORIGINAL text through regexp_replace, and without the gate its tail
-    # leaks into group 1 (e.g. a 9-digit run becomes month=19999901,
-    # whose 153*mp int arithmetic overflows under ANSI even though
-    # `matched` is false — CSE can evaluate branches eagerly). NULL array
-    # → every field NULL → null-safe arithmetic → NULL result.
-    parts = F.when(matched, F.split(F.substring(marked, 2, 1_000_000), _SEP, -1))
+    # NOTE: parts must stay a PLAIN shared expression — wrapping it in
+    # when(matched, …) makes every field reference inline the whole
+    # regexp_replace subtree (CSE is defeated in conditional contexts),
+    # which re-runs the regex per field and blows codegen past 64 KB.
+    # Leak protection for unmatched rows (whose original text passes
+    # through into group 1) is done by clamping numeric fields in gi().
+    parts = F.split(F.substring(marked, 2, 1_000_000), _SEP, -1)
 
     def g(fr: FieldRef) -> Column:
         return F.try_element_at(parts, F.lit(fr.group))
 
     def gi(fr: FieldRef) -> Column:
-        return F.trim(g(fr)).try_cast("int")
+        v = F.trim(g(fr)).try_cast("int")
+        if fr.group != 1:
+            return v
+        # clamp GROUP 1 only: on a NON-match the original text passes
+        # through regexp_replace unchanged and (having no \x02) lands
+        # whole in parts[1] — a long digit run try_casts to a huge int
+        # whose downstream arithmetic (e.g. 153*mp in days_from_civil)
+        # overflows under ANSI even though `matched` is false (CSE
+        # evaluates eagerly). Groups ≥ 2 are NULL on non-match; true
+        # matches are regex-bounded to ≤ 4 digits, so the clamp never
+        # alters them. Narrow scope keeps the added CaseWhen out of the
+        # other field subtrees (codegen size).
+        return F.when(v.between(-99999, 99999), v)
 
     def first(kind: str) -> "FieldRef | None":
         lst = by_kind.get(kind)
@@ -275,12 +288,14 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
         ).otherwise(F.lit(0).cast("long"))
 
     if ep is not None:
-        # long, not int: %s epochs past 2^31 (year 2038+) are valid; the
-        # range guard keeps the ×1e9 lift inside int64 (ANSI-safe)
+        # long, not int: %s epochs past 2^31 (year 2038+) are valid.
+        # try_multiply/try_add bound the instant to int64 nanos WITHOUT a
+        # second reference to es (a between() guard would duplicate the
+        # subtree under CaseWhen — CSE is defeated in conditional
+        # contexts); NULL nanos = invalid row.
         es = F.trim(g(ep)).try_cast("long")
-        ep_ok = es.between(-MAX_INSTANT_SEC, MAX_INSTANT_SEC)
-        nanos = F.when(ep_ok, es) * F.lit(1_000_000_000) + frac_nanos
-        return F.when(matched & ep_ok, nanos).otherwise(F.lit(None).cast("long"))
+        nanos = F.try_add(F.try_multiply(es, F.lit(1_000_000_000)), frac_nanos)
+        return F.when(matched, nanos).otherwise(F.lit(None).cast("long"))
 
     # --- civil date ---
     y4, y2, cen = first(FT.Y4), first(FT.Y2), first(FT.CENTURY)
@@ -406,9 +421,14 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
     else:
         utc_sec = _apply_from_tz_col(naive_sec, from_tz)
 
-    in_range = utc_sec.between(-MAX_INSTANT_SEC, MAX_INSTANT_SEC)
-    nanos = F.when(in_range, utc_sec) * F.lit(1_000_000_000) + frac_nanos
-    ok = valid_date & valid_time & matched & in_range
+    # exact int64-nanos bound WITHOUT re-referencing utc_sec: a second
+    # reference (e.g. a between() guard) duplicates the WHOLE civil
+    # assembly under CaseWhen — CSE is defeated in conditional contexts —
+    # and the 5-format cascade then exceeds the 64 KB codegen limit.
+    # try_multiply/try_add yield NULL exactly when the instant leaves
+    # int64 nanos; a NULL nanos is an invalid row.
+    nanos = F.try_add(F.try_multiply(utc_sec, F.lit(1_000_000_000)), frac_nanos)
+    ok = valid_date & valid_time & matched
     return F.when(ok, nanos).otherwise(F.lit(None).cast("long"))
 
 
@@ -531,13 +551,17 @@ def np_parse_format(s: pd.Series, pf: ParsedFormat, from_tz: str) -> tuple[np.nd
     if ep is not None:
         # float64 staging: pd.to_numeric of a >int64 epoch yields float,
         # and a float→int64 cast of huge values is UB; range-check first
-        # (valid epochs ≤ MAX_INSTANT_SEC are < 2^53 → float-exact)
+        # (in-range epochs are < 2^53 → float-exact). The bound is the
+        # EXACT int64-nanos representability — the twin of the Catalyst
+        # try_multiply/try_add nulls.
         bad = ep.isna().to_numpy()
         epf = ep.fillna(0).to_numpy(dtype=np.float64)
-        out_rng = np.abs(epf) > MAX_INSTANT_SEC
-        sec = np.where(out_rng, 0, epf).astype(np.int64)
-        nanos = sec * 1_000_000_000 + frac_nanos
-        return nanos, invalid | bad | out_rng
+        over = _nanos_overflow(epf, frac_nanos)
+        sec = np.where(over, 0, epf).astype(np.int64)
+        base = np.where(sec < 0, sec + 1, sec)
+        adj = np.where(sec < 0, frac_nanos - 1_000_000_000, frac_nanos)
+        nanos = base * 1_000_000_000 + adj
+        return nanos, invalid | bad | over
 
     y4, y2, cen = colnum(FT.Y4), colnum(FT.Y2), colnum(FT.CENTURY)
     gyn = colnum(FT.GYEAR)
@@ -651,11 +675,27 @@ def np_parse_format(s: pd.Series, pf: ParsedFormat, from_tz: str) -> tuple[np.nd
     else:
         utc_sec = _np_apply_from_tz(naive_sec, from_tz)
 
-    # instant-range guard: keeps the ×1e9 lift inside int64 (the numpy
-    # twin of the Catalyst in_range mask — silent wrap otherwise)
-    out_rng = np.abs(utc_sec) > MAX_INSTANT_SEC
-    nanos = np.where(out_rng, 0, utc_sec) * 1_000_000_000 + frac_nanos
-    return nanos, invalid | out_rng
+    # exact int64-nanos bound (the numpy twin of the Catalyst
+    # try_multiply/try_add nulls — silent int64 wrap otherwise); the
+    # (sec+1)·1e9 + (frac−1e9) rewrite keeps the negative boundary row
+    # (sec = −9223372037, frac ≥ 145224192) computable without wrapping
+    over = _nanos_overflow(utc_sec, frac_nanos)
+    safe = np.where(over, 0, utc_sec)
+    base = np.where(safe < 0, safe + 1, safe)
+    adj = np.where(safe < 0, frac_nanos - 1_000_000_000, frac_nanos)
+    nanos = base * 1_000_000_000 + adj
+    return nanos, invalid | over
+
+
+def _nanos_overflow(sec, frac_nanos):
+    """True where sec·1e9 + frac leaves int64 (frac ∈ [0, 1e9)) — the
+    exact twin of Catalyst's try_multiply/try_add NULL conditions."""
+    return (
+        (sec > 9223372036)
+        | ((sec == 9223372036) & (frac_nanos > 854775807))
+        | (sec < -9223372037)
+        | ((sec == -9223372037) & (frac_nanos < 145224192))
+    )
 
 
 def _np_apply_from_tz(naive_sec: np.ndarray, from_tz: str) -> np.ndarray:
@@ -664,9 +704,9 @@ def _np_apply_from_tz(naive_sec: np.ndarray, from_tz: str) -> np.ndarray:
         return naive_sec - off
     # DST zone: localize wall-clock seconds via pandas/zoneinfo
     # clip into the pandas Timestamp span for the localize call; clipped
-    # rows are out of the engine instant range and flagged invalid by the
-    # caller's MAX_INSTANT_SEC check (the clipped stand-in stays huge)
-    safe = np.clip(naive_sec, -9_200_000_000, 9_200_000_000)
+    # rows pass their huge wall value through unconverted, which the
+    # caller's _nanos_overflow check then flags invalid
+    safe = np.clip(naive_sec, -9_223_372_035, 9_223_372_035)
     idx = pd.DatetimeIndex(safe.astype("datetime64[s]"))
     # PEP-495 fold=0 semantics to match the Catalyst/Joda side: a wall
     # time inside a spring-forward gap takes the PRE-gap offset.
@@ -678,7 +718,7 @@ def _np_apply_from_tz(naive_sec: np.ndarray, from_tz: str) -> np.ndarray:
     # asi8 is in the index's OWN resolution — seconds here, NOT nanos
     wall = loc.tz_localize(None).asi8.astype(np.int64)
     utc = (loc.tz_convert("UTC").asi8 + (safe - wall)).astype(np.int64)
-    return np.where(np.abs(naive_sec) > 9_200_000_000, naive_sec, utc)
+    return np.where(np.abs(naive_sec) > 9_223_372_035, naive_sec, utc)
 
 
 def np_parse(s: pd.Series, pfs: list[ParsedFormat], from_tz: str) -> tuple[np.ndarray, np.ndarray]:

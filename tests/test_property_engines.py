@@ -24,7 +24,7 @@ FMT_POOL = [
 ]
 SEPS = [" ", "-", ":", "/", "T", "."]
 
-# engine instant span (parse.MAX_INSTANT_SEC guard): ±~288 years
+# inside the engine instant span (int64-nanos representability)
 NANO_LO = -9_000_000_000 * 10**9
 NANO_HI = 9_000_000_000 * 10**9
 
