@@ -445,12 +445,22 @@ def _fixed_offset_seconds(tz: str) -> "int | None":
         from datetime import datetime, timezone
 
         z = ZoneInfo(tz)
-        # fixed iff offset identical at two probes far apart (DST check)
-        a = datetime(2020, 1, 15, tzinfo=timezone.utc).astimezone(z).utcoffset()
-        b = datetime(2020, 7, 15, tzinfo=timezone.utc).astimezone(z).utcoffset()
-        c = datetime(1995, 7, 15, tzinfo=timezone.utc).astimezone(z).utcoffset()
-        if a == b == c:
-            return int(a.total_seconds())
+        # fixed iff the offset is invariant across a DENSE probe grid
+        # (quarterly, 1890–2045). A sparse probe set misclassifies zones
+        # that are fixed TODAY but carried DST historically — e.g.
+        # America/Sao_Paulo (DST until 2019) or Asia/Taipei (until 1979)
+        # — and the numpy engine then renders/parses their history with
+        # the modern constant while Catalyst's JVM conversion applies the
+        # historical rules (found by cross-engine formatter fuzz: 1997
+        # Sao Paulo wall clocks came out an hour apart). ~620 utcoffset
+        # probes, once per plan build.
+        offs = {
+            datetime(y, m, 15, tzinfo=timezone.utc).astimezone(z).utcoffset()
+            for y in range(1890, 2046)
+            for m in (1, 4, 7, 10)
+        }
+        if len(offs) == 1:
+            return int(offs.pop().total_seconds())
     except Exception:
         pass
     return None

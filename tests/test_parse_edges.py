@@ -249,3 +249,24 @@ def test_epoch_seconds_past_2038_and_range(spark):
     cat = _parse_catalyst(spark, p, vals)
     npy = _parse_numpy(p, vals)
     assert cat == npy == [4102444800 * 10**9, 1700000000 * 10**9, None, None]
+
+
+def test_historical_dst_of_currently_fixed_zone(spark):
+    """America/Sao_Paulo has had no DST since 2019, so a sparse
+    fixed-offset probe classified it as fixed (-03:00) and the numpy
+    engine rendered its 1997 DST wall clocks an hour off the Catalyst
+    result (cross-engine formatter fuzz finding). Dense probing keeps
+    historically-DST zones on the rule-aware path in both engines."""
+    from embulk_filter_timestamp_format_spark.functions.parse import _fixed_offset_seconds
+
+    assert _fixed_offset_seconds("America/Sao_Paulo") is None
+    assert _fixed_offset_seconds("Asia/Taipei") is None  # DST until 1979
+    assert _fixed_offset_seconds("+09:00") == 32400
+
+    plan = TimestampFormatterPlan("%Y-%m-%d %H:%M:%S %z", "America/Sao_Paulo")
+    nanos = [876268071 * 10**9, 1700000000 * 10**9]  # 1997 DST, 2023 fixed
+    cat = _format_catalyst(spark, plan, nanos)
+    npy = list(plan.format_np(np.array(nanos, dtype=np.int64)))
+    assert cat == npy
+    assert cat[0] == "1997-10-07 21:47:51 -0200"  # historical DST applied
+    assert cat[1] == "2023-11-14 19:13:20 -0300"
