@@ -56,6 +56,40 @@ def test_formatter_engines_agree(spark, dummy, fmt, epochs):
     assert cat == npy, f"engine divergence for {fmt!r}"
 
 
+ZONES = [
+    "UTC", "America/New_York", "Asia/Taipei", "Europe/Berlin",
+    "+09:00", "Australia/Sydney", "America/Sao_Paulo",
+]
+# modern instants: DST-rule zones resolve through two tz databases
+# (JVM vs zoneinfo) which agree on 1970–2037 but can differ on
+# pre-standardization history and post-2037 extrapolation
+MODERN_LO, MODERN_HI = 0, 2_140_000_000 * 10**9
+
+
+@pytest.mark.parametrize("dummy", [0])
+@given(
+    fmt=fmt_strategy,
+    tz=st.sampled_from(ZONES),
+    epochs=st.lists(
+        st.integers(min_value=MODERN_LO, max_value=MODERN_HI), min_size=4, max_size=10
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_formatter_engines_agree_across_zones(spark, dummy, fmt, tz, epochs):
+    """DST-rule to_timezone rendering parity — the fuzz that caught the
+    sparse fixed-offset probe misclassifying America/Sao_Paulo (its 1997
+    DST wall clocks rendered an hour apart across engines)."""
+    plan = TimestampFormatterPlan(fmt + " %z %Z", tz)
+    df = spark.createDataFrame([(int(e),) for e in epochs], "nanos long")
+    cat = [r["s"] for r in df.select(plan.format_expr(F.col("nanos")).alias("s")).collect()]
+    npy = list(plan.format_np(np.array(epochs, dtype=np.int64)))
+    assert cat == npy, f"engine divergence for {fmt!r} in {tz}"
+
+
 PARSE_POOL = [
     "%Y", "%m", "%d", "%H", "%M", "%S", "%y", "%j", "%N", "%3N", "%6N",
     "%z", "%p", "%I", "%L", "%s",
