@@ -568,9 +568,7 @@ def np_parse_format(s: pd.Series, pf: ParsedFormat, from_tz: str) -> tuple[np.nd
         epf = ep.fillna(0).to_numpy(dtype=np.float64)
         over = _nanos_overflow(epf, frac_nanos)
         sec = np.where(over, 0, epf).astype(np.int64)
-        base = np.where(sec < 0, sec + 1, sec)
-        adj = np.where(sec < 0, frac_nanos - 1_000_000_000, frac_nanos)
-        nanos = base * 1_000_000_000 + adj
+        nanos = sec * 1_000_000_000 + frac_nanos
         return nanos, invalid | bad | over
 
     y4, y2, cen = colnum(FT.Y4), colnum(FT.Y2), colnum(FT.CENTURY)
@@ -686,25 +684,26 @@ def np_parse_format(s: pd.Series, pf: ParsedFormat, from_tz: str) -> tuple[np.nd
         utc_sec = _np_apply_from_tz(naive_sec, from_tz)
 
     # exact int64-nanos bound (the numpy twin of the Catalyst
-    # try_multiply/try_add nulls — silent int64 wrap otherwise); the
-    # (sec+1)·1e9 + (frac−1e9) rewrite keeps the negative boundary row
-    # (sec = −9223372037, frac ≥ 145224192) computable without wrapping
+    # try_multiply/try_add nulls — silent int64 wrap otherwise); every
+    # accepted sec satisfies |sec·1e9| ≤ int64max − frac, so the direct
+    # product cannot wrap
     over = _nanos_overflow(utc_sec, frac_nanos)
     safe = np.where(over, 0, utc_sec)
-    base = np.where(safe < 0, safe + 1, safe)
-    adj = np.where(safe < 0, frac_nanos - 1_000_000_000, frac_nanos)
-    nanos = base * 1_000_000_000 + adj
+    nanos = safe * 1_000_000_000 + frac_nanos
     return nanos, invalid | over
 
 
 def _nanos_overflow(sec, frac_nanos):
-    """True where sec·1e9 + frac leaves int64 (frac ∈ [0, 1e9)) — the
-    exact twin of Catalyst's try_multiply/try_add NULL conditions."""
+    """True where Catalyst's try_add(try_multiply(sec, 1e9), frac) NULLs
+    (frac ∈ [0, 1e9)) — the exact twin of the Catalyst side, INCLUDING
+    its multiply-first semantics: sec = −9223372037 is rejected outright
+    (its product leaves int64 before try_add could bring the sum back in
+    range), even though instants in [int64min, int64min + 145224192 ns)
+    are representable. Both engines therefore agree on the whole domain."""
     return (
         (sec > 9223372036)
         | ((sec == 9223372036) & (frac_nanos > 854775807))
-        | (sec < -9223372037)
-        | ((sec == -9223372037) & (frac_nanos < 145224192))
+        | (sec < -9223372036)
     )
 
 

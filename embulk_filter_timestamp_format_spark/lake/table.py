@@ -266,13 +266,29 @@ class IceTable:
         (hash-agg max + join-back — the same sort-free dedup plan the CDC
         batch path uses), delete tombstones dropped. The maxes side spans
         the WHOLE key set, so it is NOT broadcast — AQE picks a shuffled
-        hash join co-partitioned on the key."""
-        all_rows = deltas
+        hash join co-partitioned on the key.
+
+        (key, seq) ties are broken AFTER the join-back so merge_into
+        stays idempotent like the COW path: a delta row beats the base
+        row it superseded (side-priority max, reusing the (key, seq)
+        partitioning — no extra shuffle), and surviving exact ties (the
+        same delta delivered twice without a batch-id fence) collapse to
+        one row per key. Every aggregate here is a HashAggregate over
+        scalar columns — no SortAggregate in the read path."""
+        all_rows = deltas.withColumn("__prio", F.lit(1))
         if base is not None:
-            all_rows = base.withColumn("__op", F.lit("U")).unionByName(deltas)
+            all_rows = base.withColumn("__op", F.lit("U")).withColumn(
+                "__prio", F.lit(0)
+            ).unionByName(all_rows)
         maxes = all_rows.groupBy(key).agg(F.max(seq).alias(seq))
-        latest = all_rows.join(maxes, [key, seq])
-        return latest.filter(F.col("__op") != "D").drop("__op")
+        cand = all_rows.join(maxes, [key, seq])
+        best = cand.groupBy(key, seq).agg(F.max("__prio").alias("__bestprio"))
+        latest = (
+            cand.join(best, [key, seq])
+            .filter(F.col("__prio") == F.col("__bestprio"))
+            .dropDuplicates([key])
+        )
+        return latest.filter(F.col("__op") != "D").drop("__op", "__prio", "__bestprio")
 
     def read(self, version: "int | None" = None) -> DataFrame:
         """Snapshot read; old-schema files are cast-projected to the
@@ -688,45 +704,65 @@ class IceTable:
                 self._remove_files(entries)
         raise CommitConflict(f"compact lost {MAX_COMMIT_RETRIES} commit races")
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_grace_sec: float = 3 * 86400
+    ) -> dict:
         """Retention GC — the operation that makes time travel viable at
         10^10-row scale, where every COW merge rewrites touched buckets
         and unexpired history grows the data directory without bound.
 
         Keeps the ``keep_last`` newest snapshots (always ≥ 1); deletes
-        older v<N>.json files, every data file referenced ONLY by expired
-        snapshots, and any orphan parquet in data/ referenced by no
-        retained snapshot (covers files leaked by writers that crashed
-        between data write and commit — the gap _remove_files can't see).
+        older v<N>.json files and every data file that was referenced by
+        an EXPIRED snapshot but no retained one (those were committed, so
+        no in-flight writer can still reference them). Parquet referenced
+        by NO snapshot at all (a crashed writer's leak — the gap
+        _remove_files can't see) is removed only when older than
+        ``orphan_grace_sec`` (mtime cutoff, like Iceberg's
+        remove_orphan_files olderThan — default 3 days): a younger
+        unreferenced file may belong to a writer that is between
+        _write_data_files and _write_snapshot right now, and deleting it
+        would let that writer commit a snapshot pointing at missing data.
         Time travel / changes() below the horizon then raise; history()
         skips the gap.
 
         Safe against concurrent WRITERS (they only create new versions;
         the commit fence lives in the latest snapshot, which is always
-        retained). Like Iceberg, it is the caller's contract that no
-        READER still pins an expired version.
+        retained; in-flight data files sit inside the grace window).
+        Like Iceberg, it is the caller's contract that no READER still
+        pins an expired version.
 
         Returns {"snapshots": n_removed, "files": n_removed, "bytes": b}.
         """
+        import time
+
         vs = self.versions()
         keep = set(vs[-max(keep_last, 1):])
         referenced: set[str] = set()
-        for v in keep:
-            referenced |= {f["path"] for f in self.snapshot(v)["files"]}
+        expired_refs: set[str] = set()
+        for v in vs:
+            paths = {f["path"] for f in self.snapshot(v)["files"]}
+            if v in keep:
+                referenced |= paths
+            else:
+                expired_refs |= paths
         n_snaps = 0
         for v in vs:
             if v not in keep:
                 os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
                 n_snaps += 1
+        cutoff = time.time() - orphan_grace_sec
         n_files = n_bytes = 0
         for dirpath, _dirnames, filenames in os.walk(self.data_dir):
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
-                if fn.endswith(".parquet") and rel not in referenced:
-                    n_bytes += os.path.getsize(full)
-                    os.remove(full)
-                    n_files += 1
+                if not fn.endswith(".parquet") or rel in referenced:
+                    continue
+                if rel not in expired_refs and os.path.getmtime(full) > cutoff:
+                    continue  # possibly an in-flight writer's uncommitted file
+                n_bytes += os.path.getsize(full)
+                os.remove(full)
+                n_files += 1
         return {"snapshots": n_snaps, "files": n_files, "bytes": n_bytes}
 
     def evolve_schema(self, new_schema: T.StructType) -> int:

@@ -110,8 +110,16 @@ def ivf_topk(
     base = df.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )
+    cents_df = base.filter(F.pmod(h, F.lit(centroid_stride)) == 0)
+    if cents_df.isEmpty():
+        # small datasets / stride > N can leave the hash sample empty, and
+        # an empty centroid table would silently return zero neighbors
+        # (assignment and probes both inner-join it). Fall back to one
+        # deterministic centroid: the row minimizing the hash (a top-1
+        # TakeOrdered on the driver — bounded control-plane work).
+        cents_df = base.withColumn("_h", h).orderBy("_h", id_col).limit(1).drop("_h")
     cents = F.broadcast(
-        base.filter(F.pmod(h, F.lit(centroid_stride)) == 0).select(
+        cents_df.select(
             F.col(id_col).alias("cid"),
             F.col(vec_col).alias("cv"),
             F.col("_nrm").alias("_cnrm"),

@@ -77,6 +77,10 @@ def test_dedup_latest_matches_window_spec(spark):
     # salted variant identical
     salted = dedup_latest(ev, salt_buckets=4).select("doc_id", "event_seq").collect()
     assert sorted(salted) == sorted(spec)
+    # billion-key escape hatch (maxes NOT broadcast → AQE shuffled-hash
+    # join) — identical result
+    nobc = dedup_latest(ev, broadcast_maxes=False).select("doc_id", "event_seq").collect()
+    assert sorted(nobc) == sorted(spec)
 
 
 def test_replay_matches_reference_and_tokens(spark, binlog_dir, tmp_path):

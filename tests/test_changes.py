@@ -164,12 +164,17 @@ def test_expire_snapshots_gc(spark, tmp_path):
     before = {r["doc_id"]: r["event_seq"] for r in table.read().collect()}
     v_end = table.current_version()
 
-    # plant an orphan (a crashed writer's leak) — GC must remove it
+    # plant an orphan (a crashed writer's leak). A FRESH unreferenced file
+    # must survive the default grace window — it could equally be an
+    # in-flight writer between data write and commit — while files
+    # referenced only by expired snapshots are deleted immediately.
     orphan = os.path.join(table.data_dir, "orphan.parquet")
     open(orphan, "w").write("x")
 
     stats = table.expire_snapshots(keep_last=2)
     assert stats["snapshots"] > 0 and stats["files"] > 0
+    assert os.path.exists(orphan)  # inside the grace window
+    assert table.expire_snapshots(keep_last=2, orphan_grace_sec=0)["files"] == 1
     assert not os.path.exists(orphan)
     assert table.versions() == [v_end - 1, v_end]
     # current state intact; every retained-referenced file still on disk

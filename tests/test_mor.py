@@ -167,3 +167,39 @@ def test_manual_compact_is_state_invariant(spark, binlog_dir, tmp_path):
     assert _rows(t) == before
     assert t.changes(v1, v2).count() == 0  # state-invariant commit
     assert t.compact() is None  # nothing left to fold
+
+
+def _upserts(spark, rows):
+    data = [(d, t, len(t), "s", None, None, None, q) for d, t, q in rows]
+    return spark.createDataFrame(data, TARGET_SCHEMA).withColumn("op", F.lit("U"))
+
+
+def test_mor_base_delta_seq_tie_prefers_delta(spark, tmp_path):
+    """A (key, seq) tie between a BASE row and a delta row resolves to the
+    delta (side priority) — without it the MOR read returns both rows."""
+    mor = _table(spark, tmp_path, "mor_tie", write_mode="mor", compact_threshold=100)
+    mor.merge_into(_upserts(spark, [("d1", [1], 5)]), batch_id=0, source="t")
+    mor.compact()  # fold the delta so d1 now sits in a BASE file
+    assert not any(f.get("delta") for f in mor.snapshot()["files"])
+    mor.merge_into(_upserts(spark, [("d1", [2], 5)]), batch_id=1, source="t")
+    rows = mor.read().collect()
+    assert len(rows) == 1
+    assert list(rows[0]["tokens"]) == [2]
+
+
+def test_mor_unfenced_redelivery_is_idempotent(spark, tmp_path):
+    """The same batch delivered twice WITHOUT a batch-id fence must not
+    duplicate keys in MOR reads (exact (key, seq) delta ties collapse)."""
+    mor = _table(spark, tmp_path, "mor_redeliver", write_mode="mor")
+    up = _upserts(spark, [("d1", [1], 3), ("d2", [2, 2], 4)])
+    mor.merge_into(up, batch_id=None)
+    mor.merge_into(up, batch_id=None)  # duplicate delivery, no fence
+    rows = mor.read().collect()
+    assert sorted(r["doc_id"] for r in rows) == ["d1", "d2"]
+    # a redelivered DELETE tombstone tie also stays idempotent
+    dels = spark.createDataFrame(
+        [("d1", [9], 1, "s", None, None, None, 9)], TARGET_SCHEMA
+    ).withColumn("op", F.lit("D"))
+    mor.merge_into(dels, batch_id=None)
+    mor.merge_into(dels, batch_id=None)
+    assert {r["doc_id"] for r in mor.read().collect()} == {"d2"}

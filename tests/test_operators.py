@@ -130,6 +130,18 @@ def test_ann_recall_vs_brute_force(spark, emb):
     assert recall >= 0.5, f"ANN recall {recall}"  # deterministic for fixed seed/data
 
 
+def test_ivf_empty_centroid_sample_falls_back(spark, emb):
+    """A stride larger than the dataset leaves the md5 sample empty; the
+    min-hash fallback centroid must keep ivf_topk returning neighbors
+    instead of silently yielding nothing."""
+    small = emb.limit(10).cache()
+    qid = small.select("vec_id").orderBy("vec_id").first()["vec_id"]
+    out = S.ivf_topk(small, [qid], k=3, centroid_stride=10**9, nprobe=1).collect()
+    assert len(out) == 3  # one centroid = the whole table in one list
+    exact = {r["neighbor_id"] for r in S.cosine_topk(small, [qid], k=3).collect()}
+    assert {r["neighbor_id"] for r in out} == exact
+
+
 def test_ivf_recall_and_exactness(spark, emb):
     qids = list(range(10))
     bf = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb, qids, k=5).collect()}

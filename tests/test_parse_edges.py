@@ -270,3 +270,33 @@ def test_historical_dst_of_currently_fixed_zone(spark):
     assert cat == npy
     assert cat[0] == "1997-10-07 21:47:51 -0200"  # historical DST applied
     assert cat[1] == "2023-11-14 19:13:20 -0300"
+
+
+# ---------------------------------------------------------------------------
+# int64-nanos boundary: both engines share Catalyst's multiply-first
+# overflow semantics (sec = -9223372037 rejected outright even though
+# instants in [int64min, int64min + 145224192 ns) are representable)
+# ---------------------------------------------------------------------------
+
+BOUNDARY_EPOCHS = [
+    ("9223372036.854775807", True),   # int64max nanos exactly
+    ("9223372036.854775808", False),  # one nano past
+    ("-9223372036.000000000", True),  # most negative accepted second
+    ("-9223372036.999999999", True),  # frac keeps it in range (sec<0 → +frac)
+    ("-9223372037.000000000", False), # product leaves int64 before try_add
+    ("-9223372037.200000000", False), # representable instant, still rejected
+    ("9223372037.0", False),
+]
+
+
+def test_nanos_boundary_parity_both_engines(spark):
+    p = TimestampParserPlan(["%s.%N"], "UTC")
+    vals = [v for v, _ in BOUNDARY_EPOCHS]
+    nanos, valid = p.parse_np(pd.Series(vals))
+    assert valid.tolist() == [ok for _, ok in BOUNDARY_EPOCHS]
+    got = _parse_catalyst(spark, p, vals)
+    assert [g is not None for g in got] == [ok for _, ok in BOUNDARY_EPOCHS]
+    for g, n, (_, ok) in zip(got, nanos, BOUNDARY_EPOCHS):
+        if ok:
+            assert g == int(n)
+    assert got[0] == 9223372036854775807
