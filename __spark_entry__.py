@@ -102,15 +102,21 @@ def q_tsfmt_timezone_render(spark, sf_dir):
 
 
 def q_tsfmt_multiformat_cascade(spark, sf_dir):
-    """multi-format fallback parse (op 13): mixed date-only / full strings."""
+    """multi-format fallback parse (op 13): mixed date-only / full strings.
+
+    Uses the STAGED cascade (parse_df: one projection column per format,
+    then a cheap attribute cascade) — the inline parse_expr coalesce
+    re-runs later formats' regex extraction per field reference
+    (conditional-context CSE defeat, ~15× the regex work per row)."""
     ev = _events(spark, sf_dir)
     raw = F.when(
         F.col("event_id") % 2 == 0, F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
     ).otherwise(F.date_format(F.col("ts"), "yyyy-MM-dd"))
     parser = TimestampParserPlan(["%Y-%m-%d %H:%M:%S", "%Y-%m-%d"], "UTC")
-    return ev.select(
+    parsed = parser.parse_df(ev.select("event_id", raw.alias("__raw")), "__raw", "__nanos")
+    return parsed.select(
         F.col("event_id"),
-        U.col_nanos_to_long(parser.parse_expr(raw), TimestampUnit.MILLISECOND).alias("parsed_ms"),
+        U.col_nanos_to_long(F.col("__nanos"), TimestampUnit.MILLISECOND).alias("parsed_ms"),
     )
 
 

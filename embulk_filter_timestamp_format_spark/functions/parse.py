@@ -793,9 +793,55 @@ class TimestampParserPlan:
         self.parsed = [FT.parse_format(f) for f in formats]
 
     def parse_expr(self, col: Column) -> Column:
-        """Catalyst cascade → epoch-nanos (long) or NULL."""
-        exprs = [format_parse_expr(col, pf, self.from_timezone) for pf in self.parsed]
+        """Catalyst cascade → epoch-nanos (long) or NULL.
+
+        Single-expression form. Correct for any format count, but for
+        MULTI-format plans the inline ``coalesce`` is the slow path:
+        children 2..k of Coalesce are conditionally evaluated, where
+        Catalyst's subexpression elimination does not apply, so every
+        field reference of a later format re-executes that format's
+        whole regex extraction (~15× the regex work per row). Hot paths
+        should stage per-format columns instead — see ``parse_df`` /
+        ``format_exprs`` + ``cascade_from_staged``."""
+        exprs = self.format_exprs(col)
         return exprs[0] if len(exprs) == 1 else F.coalesce(*exprs)
+
+    def format_exprs(self, col: Column) -> list[Column]:
+        """One epoch-nanos expr PER format (NULL on mismatch/invalid) —
+        stage these as intermediate projection columns, then combine
+        with ``cascade_from_staged``."""
+        return [format_parse_expr(col, pf, self.from_timezone) for pf in self.parsed]
+
+    def cascade_from_staged(self, staged: list[Column]) -> Column:
+        """First-match-wins cascade over per-format nanos columns that
+        were staged in a SEPARATE select (same order semantics as the
+        reference, TimestampParser.java:101-121). Each staged column is
+        referenced TWICE (null test + value) on purpose: a non-cheap
+        projection output referenced more than once is never re-inlined
+        by CollapseProject, so the parse trees stay in their own
+        unconditional projection where subexpression elimination works —
+        the fix for the conditional-context CSE defeat of the inline
+        coalesce cascade."""
+        out = None
+        for c in staged:
+            out = F.when(c.isNotNull(), c) if out is None else out.when(c.isNotNull(), c)
+        return out.otherwise(F.lit(None).cast("long"))
+
+    def parse_df(self, df, col, out: str):
+        """Staged multi-format parse: returns ``df`` with ``out``
+        (epoch-nanos long, NULL on total parse failure) appended — THE
+        way to run a multi-format cascade on a hot path (each format's
+        extraction runs exactly once per row, whole-stage codegen'd)."""
+        c = F.col(col) if isinstance(col, str) else col
+        if len(self.parsed) == 1:
+            return df.withColumn(out, self.parse_expr(c))
+        tmps = [f"__pf{i}__{out}" for i in range(len(self.parsed))]
+        staged = df.select(
+            "*", *[e.alias(t) for e, t in zip(self.format_exprs(c), tmps)]
+        )
+        keep = [F.col(n) for n in df.columns]
+        cascade = self.cascade_from_staged([F.col(t) for t in tmps])
+        return staged.select(*keep, cascade.alias(out))
 
     def parse_np(self, s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         return np_parse(s, self.parsed, self.from_timezone)

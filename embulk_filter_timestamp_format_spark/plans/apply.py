@@ -182,6 +182,30 @@ class CompiledProjection:
         if self.arrow:
             return
 
+        # Stage 0: MULTI-format string casts stage one epoch-nanos column
+        # PER format; the cascade then combines cheap attributes. Without
+        # this, formats 2..k live in coalesce's conditional children where
+        # subexpression elimination is defeated and every field reference
+        # re-runs the format's regex extraction (~15× regex work/row).
+        multi = {
+            name: cp
+            for name, cp in self.casts.items()
+            if cp.needs_instant
+            and cp.source_type == "string"
+            and len(cp.parser.parsed) > 1
+        }
+        self.stage0 = None
+        pf_cols: dict[str, list[str]] = {}
+        if multi:
+            self.stage0 = [F.col(f.name) for f in schema.fields]
+            for name, cp in multi.items():
+                tmps = [f"__pf{i}__{name}" for i in range(len(cp.parser.parsed))]
+                self.stage0 += [
+                    e.alias(t)
+                    for e, t in zip(cp.parser.format_exprs(F.col(name)), tmps)
+                ]
+                pf_cols[name] = tmps
+
         # Stage 1: instant-routed casts compute epoch-nanos into
         # intermediate columns (one evaluation; the formatter then
         # references the attribute instead of re-inlining the parse tree
@@ -194,7 +218,13 @@ class CompiledProjection:
         if staged:
             self.stage1 = [F.col(f.name) for f in schema.fields]
             self.stage1 += [
-                self.casts[name].to_nanos_expr(F.col(name)).alias(tmp)
+                (
+                    self.casts[name].parser.cascade_from_staged(
+                        [F.col(t) for t in pf_cols[name]]
+                    )
+                    if name in pf_cols
+                    else self.casts[name].to_nanos_expr(F.col(name))
+                ).alias(tmp)
                 for name, tmp in staged.items()
             ]
         self.stage2 = []
@@ -215,6 +245,8 @@ class CompiledProjection:
     def apply(self, df: DataFrame) -> DataFrame:
         if self.arrow:
             return _apply_arrow(df, self.task, self.casts, self.json_plans)
+        if self.stage0 is not None:
+            df = df.select(*self.stage0)
         if self.stage1 is not None:
             df = df.select(*self.stage1)
         return df.select(*self.stage2)
@@ -256,7 +288,12 @@ def _apply_arrow(
 def invalid_condition(schema: T.StructType, task: TaskConfig):
     """Boolean Column: row has a configured string column whose non-null
     value fails every parse format (the reference's per-record invalid
-    test, ColumnVisitorImpl.java:79-99). None when no column can fail."""
+    test, ColumnVisitorImpl.java:79-99). None when no column can fail.
+
+    Single-expression form — for MULTI-format tasks on a hot path use
+    ``InvalidFlagPlan`` instead (per-format staged projections; this
+    inline form pays the conditional-context CSE defeat of the coalesce
+    cascade)."""
     casts, _ = _compile_plans(task, schema)
     conds = []
     for name, plan in casts.items():
@@ -269,6 +306,47 @@ def invalid_condition(schema: T.StructType, task: TaskConfig):
     for c in conds[1:]:
         cond = cond | c
     return cond
+
+
+class InvalidFlagPlan:
+    """Per-batch invalid-record flag with per-format parse staging.
+
+    Compiled once per (schema, task) — ``apply(df)`` returns
+    ``df.select(keep + __bad int flag)`` built as two projections: stage
+    A computes one epoch-nanos column per (string column, format) pair
+    (unconditional top-level exprs → full subexpression elimination),
+    stage B combines the cheap staged attributes into the flag. The
+    double reference per staged column in the cascade keeps
+    CollapseProject from re-inlining the parse trees into stage B's
+    conditional context. ``can_fail`` is False when no configured column
+    is a parseable string (callers then skip the flag entirely)."""
+
+    FLAG = "__bad"
+
+    def __init__(self, schema: T.StructType, task: TaskConfig, keep: list[str]):
+        casts, _ = _compile_plans(task, schema)
+        scasts = [(n, p) for n, p in casts.items() if p.source_type == "string"]
+        self.can_fail = bool(scasts)
+        if not self.can_fail:
+            return
+        srcs = [n for n, _ in scasts if n not in keep]
+        self.stage_a: list = [F.col(c) for c in keep + srcs]
+        cond = None
+        for name, plan in scasts:
+            tmps = []
+            for i, e in enumerate(plan.parser.format_exprs(F.col(name))):
+                t = f"__pf{i}__{name}"
+                self.stage_a.append(e.alias(t))
+                tmps.append(t)
+            parsed = plan.parser.cascade_from_staged([F.col(t) for t in tmps])
+            c = F.col(name).isNotNull() & parsed.isNull()
+            cond = c if cond is None else cond | c
+        self.stage_b: list = [F.col(c) for c in keep] + [
+            cond.cast("int").alias(self.FLAG)
+        ]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.select(*self.stage_a).select(*self.stage_b)
 
 
 def invalid_filter(df_in: DataFrame, task: TaskConfig) -> "DataFrame | None":

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lake import IceTable
-from ..plans import TaskConfig, apply_task, invalid_condition, invalid_filter
+from ..plans import InvalidFlagPlan, TaskConfig, apply_task, invalid_filter
 from ..sources.binlog import BINLOG_SCHEMA
 
 # target table: pre-tokenized training sequences + engine-managed time cols
@@ -175,16 +175,17 @@ class CdcPipeline:
         # ColumnVisitorImpl.java:90-97); also serves stop_on_invalid_record
         self.record_invalid = record_invalid or stop_on_invalid_record
         # Whole-stage codegen is DISABLED inside apply_batch by default:
-        # the multi-format parse cascade compiles to a >64 KB method under
-        # WSCG fusion (WSCG cannot split expression code whose inputs are
-        # locals), so every batch paid a failed janino compile (~1-2 s of
-        # serial driver floor) and then ran interpreted anyway. With WSCG
-        # off, each operator still gets (splittable) per-operator codegen;
-        # measured 2M-event batches: 10.5 s vs 14.0 s, zero janino errors.
+        # the inline multi-format parse cascade compiled to a >64 KB
+        # method under WSCG fusion (WSCG cannot split expression code
+        # whose inputs are locals) — every batch paid a failed janino
+        # compile then ran interpreted. The staged per-format projection
+        # no longer blows the limit, but per-operator codegen still
+        # measures equal-or-faster (alternating 2M-event replays:
+        # best 31.3 s off vs 35.7 s on), so the default stays off.
         self.wholestage_codegen = wholestage_codegen
         self._proj = None
         self._out_cols = None
-        self._invalid_cond = _UNSET
+        self._invalid_plan = _UNSET
 
     # ------------------------------------------------------------------
 
@@ -260,18 +261,21 @@ class CdcPipeline:
         ]
         stats_in = batch_df.select("offset", "op", "doc_id")
         if self.record_invalid:
-            if self._invalid_cond is _UNSET:
-                self._invalid_cond = invalid_condition(batch_df.schema, self.task)
-            if self._invalid_cond is not None:
-                # the parse-cascade flag is STAGED in a projection (where
-                # codegen splits big expressions into many methods) — inlined
-                # directly under the hash aggregate it exceeds janino's
-                # 64 KB method limit and silently de-optimizes the stage
-                stats_in = batch_df.select(
-                    "offset", "op", "doc_id",
-                    self._invalid_cond.cast("int").alias("__bad"),
+            if self._invalid_plan is _UNSET:
+                # compiled once, reused across micro-batches. The flag is
+                # STAGED as two projections (one nanos column PER format,
+                # then a cheap attribute cascade): inlined directly under
+                # the hash aggregate the multi-format coalesce re-runs
+                # each later format's regex per field reference
+                # (conditional-context CSE defeat) AND exceeds janino's
+                # 64 KB method limit, de-optimizing the stage
+                plan = InvalidFlagPlan(
+                    batch_df.schema, self.task, ["offset", "op", "doc_id"]
                 )
-                aggs.append(F.sum("__bad").alias("invalid"))
+                self._invalid_plan = plan if plan.can_fail else None
+            if self._invalid_plan is not None:
+                stats_in = self._invalid_plan.apply(batch_df)
+                aggs.append(F.sum(InvalidFlagPlan.FLAG).alias("invalid"))
         # per-source-partition lineage in the SAME pass (north-rule
         # granularity): partition = key-hash mod P, the assignment a keyed
         # CDC stream (e.g. key-partitioned Kafka topic) would carry. The

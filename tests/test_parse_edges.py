@@ -300,3 +300,34 @@ def test_nanos_boundary_parity_both_engines(spark):
         if ok:
             assert g == int(n)
     assert got[0] == 9223372036854775807
+
+
+# ---------------------------------------------------------------------------
+# staged multi-format cascade (parse_df) ≡ inline coalesce ≡ numpy engine
+# ---------------------------------------------------------------------------
+
+def test_staged_cascade_matches_inline_and_numpy(spark):
+    p = TimestampParserPlan(
+        ["%Y-%m-%d %H:%M:%S.%N %z", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"], "UTC"
+    )
+    vals = [
+        "2015-01-02 03:04:05.678901234 +0900",
+        "2015-01-02 03:04:05",
+        "2015-01-02",
+        "2015-02-30",          # fails every format
+        "garbage",
+        None,
+        "1999-12-31 23:59:60",  # leap second accepted (second=60)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    staged = [
+        r["n"] for r in p.parse_df(df, "s", "n").select("n").collect()
+    ]
+    inline = [
+        r["n"] for r in df.select(p.parse_expr(F.col("s")).alias("n")).collect()
+    ]
+    assert staged == inline
+    nanos, valid = p.parse_np(pd.Series(vals))
+    npy = [int(n) if ok else None for n, ok in zip(nanos, valid)]
+    # null input is invalid on the numpy side mask as well
+    assert staged == npy
