@@ -37,6 +37,22 @@ from pyspark.sql import functions as F
 from .text import fingerprint_md5, normalized, words
 
 
+def _maybe_persist(df: DataFrame, enabled: bool) -> DataFrame:
+    """Persist a slim intermediate (MEMORY_AND_DISK) so the self-join
+    branches and the verify join-backs read it instead of recomputing the
+    text → shingle/sketch extraction per branch (2-4× the extraction cost
+    otherwise — the filter on shingle count ALSO re-inlines the whole
+    extraction when predicate pushdown reaches the scan, so callers
+    filter AFTER the persist barrier). The cache lives until evicted
+    (LRU) or the session ends; pass persist_intermediate=False to keep
+    the operator side-effect-free."""
+    if enabled:
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def shingles(col, n: int = 3):
     """Distinct word n-grams (space-joined), lowercase-normalized.
 
@@ -108,6 +124,7 @@ def ngram_jaccard_pairs(
     block_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """All pairs within a block with n-gram Jaccard ≥ threshold.
 
@@ -125,10 +142,14 @@ def ngram_jaccard_pairs(
     assert threshold >= 0.8, "size-band pruning is proven for threshold >= 0.8"
     sh = df.select(
         F.col(id_col), F.col(block_col).alias("__block"), shingle_keys(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
     sh = sh.withColumn("__sz", F.size("sh")).withColumn(
         "__band", F.length(F.bin(F.col("__sz")))
     )
+    # persist BEFORE the emptiness filter: below the barrier, pushdown
+    # would re-inline the shingle extraction into the scan filter, and
+    # the a/b join branches would each recompute it
+    sh = _maybe_persist(sh, persist_intermediate).filter(F.col("__sz") > 0)
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("__block"), F.col("sh").alias("sh_a"),
         F.col("__sz").alias("sz_a"),
@@ -229,6 +250,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     seed: int = 7,
     hash_scheme: str = "affine",
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band bucket, then exact-Jaccard
     verified at `threshold`. Near-linear: the only wide operations are the
@@ -239,12 +261,17 @@ def minhash_lsh_pairs(
     generation included — is reproducible in DuckDB SQL AND it is the
     cheapest scheme; see the minhash_lsh oracle in __spark_entry__."""
     rows = num_hashes // bands
-    sh = df.select(
+    base = df.select(
         F.col(id_col), shingle_keys(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = sh.withColumn(
-        "sig", minhash_signature(F.col("sh"), num_hashes, seed, hash_scheme)
-    )
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed, hash_scheme))
+    # ONE materialization of the text → shingles → signature extraction:
+    # persisted before the emptiness filter (pushdown would re-inline the
+    # extraction into the scan filter) and shared by the two band-join
+    # branches AND the two array join-backs — uncached, each of those
+    # recomputes the whole extraction (measured 6.9 s → 2.9 s at sf0.1)
+    base = _maybe_persist(base, persist_intermediate)
+    sig = base.filter(F.size("sh") > 0)
+    sh = sig
 
     def bucket_key(bi: int):
         key = F.concat_ws(
@@ -343,6 +370,7 @@ def simhash_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -363,10 +391,16 @@ def simhash_pairs(
     band_bits = SIMHASH_BITS // bands
     mask = (1 << band_bits) - 1
 
+    # sketch table materialized ONCE (persist before the emptiness
+    # filter — see _maybe_persist); both band-join branches read it
     s = (
         df.select(F.col(id_col), word_hashes60(F.col(text_col)).alias("wh"))
-        .filter(F.size("wh") > 0)
-        .select(id_col, simhash60(F.col("wh")).alias("sim"))
+        .select(id_col, F.size("wh").alias("__n"), simhash60(F.col("wh")).alias("sim"))
+    )
+    s = (
+        _maybe_persist(s, persist_intermediate)
+        .filter(F.col("__n") > 0)
+        .select(id_col, "sim")
     )
     bandvals = [
         F.shiftrightunsigned(F.col("sim"), band_bits * i).bitwiseAND(F.lit(mask))
