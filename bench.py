@@ -138,7 +138,26 @@ def bench_parse_format(spark, rows: int = 2_000_000) -> dict:
     t0 = time.time()
     force(out)
     dt = time.time() - t0
-    return {"rows": rows, "sec": round(dt, 3), "rows_per_sec": round(rows / dt, 1)}
+    # cached-input twin: parse+format only (the reference parses a
+    # pre-generated file, so the generate cost above is NOT in its
+    # number; this row is the apples-to-apples per-core comparison)
+    cached = df.persist()
+    cached.count()
+    outc = cached.select(parser.parse_expr(F.col("s")).alias("__n")).select(
+        fmt.format_expr(F.col("__n")).alias("d")
+    )
+    force(outc)
+    t0 = time.time()
+    force(outc)
+    dtc = time.time() - t0
+    cached.unpersist()
+    return {
+        "rows": rows,
+        "sec": round(dt, 3),
+        "rows_per_sec": round(rows / dt, 1),
+        "cached_sec": round(dtc, 3),
+        "cached_rows_per_sec": round(rows / dtc, 1),
+    }
 
 
 def main():
