@@ -10,3 +10,9 @@ catalog can be swapped in when jars are available.
 """
 
 from .table import IceTable, changelog_diff  # noqa: F401
+from .catalog import (  # noqa: F401
+    Catalog,
+    IcebergSparkCatalog,
+    LocalCatalog,
+    TableProtocol,
+)

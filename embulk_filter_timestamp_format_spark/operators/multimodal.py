@@ -83,21 +83,47 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return tiled.reshape(max(height, 1), max(width, 1))
 
 
+def _pil_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real image decode via Pillow (optional dependency): payload bytes →
+    grayscale pixel array, resized to the metadata dims when present —
+    the integration point a real cluster exercises; import stays inside
+    the Arrow kernel so the dependency is executor-side only."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    if width and height:
+        img = img.resize((width, height))
+    return np.asarray(img, dtype=np.uint8)
+
+
 def extract_features(
     df: DataFrame, n_features: int = 8, real_decode: bool = False
 ) -> DataFrame:
-    """Decode (stub) + feature extraction over Arrow batches.
+    """Decode + feature extraction over Arrow batches.
 
     Features: byte-histogram moments of the decoded payload — a stand-in
     with the exact UDF signature/batch shape a real CNN/spectrogram
-    extractor would use.
+    extractor would use. ``real_decode=True`` decodes payloads as real
+    images through Pillow when it is installed (pytest covers this path
+    with a skip-unless marker) and raises NotImplementedError with a
+    clear install hint otherwise; the default stays the deterministic
+    fake so sandboxed environments exercise the full plumbing.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_decode
         if real_decode:
-            raise NotImplementedError(
-                "real media decode requires PIL/torchaudio; not available in this container"
-            )
+            try:
+                import PIL  # noqa: F401
+            except ImportError as ex:
+                raise NotImplementedError(
+                    "real media decode requires Pillow (PIL) on the "
+                    "executors; install it or use the deterministic fake "
+                    "decode (real_decode=False)"
+                ) from ex
+            decode = _pil_decode
         for pdf in batches:
             out_rows = {
                 "media_id": pdf["media_id"],
@@ -109,7 +135,7 @@ def extract_features(
             }
             feats = []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                px = _fake_decode(payload, meta["width"], meta["height"]).astype(np.float64)
+                px = decode(payload, meta["width"], meta["height"]).astype(np.float64)
                 mom = [
                     px.mean(),
                     px.std(),

@@ -273,3 +273,33 @@ def test_entry_contract(spark):
         out = fn(spark, SF)
         assert out.columns, name
         out.limit(5).collect()
+
+
+def _has_pil():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed in this environment")
+def test_multimodal_real_decode_with_pil(spark):
+    """When Pillow IS available, real_decode=True decodes actual image
+    bytes: a solid 4x4 gray-128 PNG yields mean=128, std=0."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, bytearray(png), ("image", 4, 4, "png"))], MM.MEDIA_SCHEMA
+    )
+    row = MM.extract_features(media, real_decode=True).collect()[0]
+    feats = list(row["features"])
+    assert feats[0] == 128.0  # mean
+    assert feats[1] == 0.0    # std
+    assert feats[5] == 4.0 and feats[6] == 4.0  # decoded dims

@@ -331,3 +331,46 @@ def test_staged_cascade_matches_inline_and_numpy(spark):
     npy = [int(n) if ok else None for n, ok in zip(nanos, valid)]
     # null input is invalid on the numpy side mask as well
     assert staged == npy
+
+
+# ---------------------------------------------------------------------------
+# tzdb divergence domains (documented, PINNED): DST-rule from_timezone
+# resolves through the JVM tz database on the Catalyst side but Python
+# zoneinfo/pytz on the numpy side. They agree on 1970-2037 instants and
+# all fixed-offset zones; they diverge on
+#   (a) pre-1883 local-mean-time history — a constant per-zone
+#       seconds-precision delta (JVM keeps LMT seconds, the Python stack
+#       rounds to whole minutes), and
+#   (b) post-2037 DST extrapolation — the JVM extrapolates the last DST
+#       rule forever, pandas/pytz freezes at the table horizon, so
+#       summer instants differ by the zone's full DST shift.
+# These tests MEASURE the divergence so the gap is pinned, not prose.
+# ---------------------------------------------------------------------------
+
+DIVERGENCE_CASES = [
+    # (zone, wall time, expected catalyst-minus-numpy seconds)
+    ("America/New_York", "1850-06-01 12:00:00", 2.0),       # LMT −04:56:02 vs −04:56
+    ("Europe/Berlin", "1850-06-01 12:00:00", -28.0),        # LMT +00:53:28 vs +00:53
+    ("Australia/Lord_Howe", "1880-01-01 00:00:00", -20.0),
+    ("America/New_York", "2039-07-01 12:00:00", -3600.0),   # JVM keeps EDT, pytz EST
+    ("Europe/Berlin", "2039-07-01 12:00:00", -3600.0),
+    ("Australia/Lord_Howe", "2039-07-01 12:00:00", 1800.0),  # half-hour DST zone
+    # control rows: modern instants and far-future WINTER agree exactly
+    ("America/New_York", "2000-07-01 12:00:00", 0.0),
+    ("Europe/Berlin", "2000-07-01 12:00:00", 0.0),
+    ("America/New_York", "2045-01-15 12:00:00", 0.0),
+    ("Australia/Lord_Howe", "2045-01-15 12:00:00", 0.0),
+]
+
+
+@pytest.mark.parametrize("zone,wall,expect_diff", DIVERGENCE_CASES)
+def test_tzdb_divergence_domains_pinned(spark, zone, wall, expect_diff):
+    p = TimestampParserPlan(["%Y-%m-%d %H:%M:%S"], zone)
+    cat = _parse_catalyst(spark, p, [wall])[0]
+    nanos, valid = p.parse_np(pd.Series([wall]))
+    assert cat is not None and valid[0]
+    diff_sec = (cat - int(nanos[0])) / 1e9
+    assert diff_sec == expect_diff, (
+        f"{zone} {wall}: catalyst-numpy divergence changed "
+        f"({diff_sec}s, pinned {expect_diff}s)"
+    )
