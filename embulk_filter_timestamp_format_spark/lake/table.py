@@ -134,6 +134,7 @@ class IceTable:
         write_mode: str = "cow",
         seq: str = "event_seq",
         compact_threshold: int = 8,
+        compact_jitter: "int | None" = None,
     ) -> "IceTable":
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
@@ -153,6 +154,19 @@ class IceTable:
                 "write_mode": write_mode,
                 "seq": seq,
                 "compact_threshold": compact_threshold,
+                # deterministic per-bucket threshold stagger: under uniform
+                # churn every bucket's delta chain crosses a SINGLE
+                # threshold in the SAME batch, turning adaptive compaction
+                # into a periodic stop-the-world full-table fold (observed
+                # at the 100M-event run: one batch rewrote all 64 buckets).
+                # bucket b compacts at threshold + (b·φ64 mod (jitter+1)),
+                # spreading the folds across ~jitter consecutive batches;
+                # read amplification bound becomes threshold + jitter.
+                "compact_jitter": (
+                    compact_jitter
+                    if compact_jitter is not None
+                    else max(compact_threshold // 2, 0)
+                ),
             },
             "files": [],
             "summary": {"batch_ids": {}, "lineage": [], "operation": "create"},
@@ -560,7 +574,6 @@ class IceTable:
             spec = snap["spec"]
             key, num_buckets = spec["key"], spec["num_buckets"]
             seq = spec.get("seq", "event_seq")
-            threshold = spec.get("compact_threshold", 8)
             schema = T.StructType.fromJson(snap["schema"])
             payload_cols = [f.name for f in schema.fields]
 
@@ -577,7 +590,11 @@ class IceTable:
                     chain[f["bucket"]] = chain.get(f["bucket"], 0) + 1
             for e in entries:
                 chain[e["bucket"]] = chain.get(e["bucket"], 0) + 1
-            compact = {b for b, c in chain.items() if c > threshold}
+            compact = {
+                b
+                for b, c in chain.items()
+                if c > self.bucket_compact_threshold(spec, b)
+            }
 
             comp_entries: list[dict] = []
             if compact:
@@ -792,6 +809,18 @@ class IceTable:
                 "operation": operation,
             },
         }
+
+    @staticmethod
+    def bucket_compact_threshold(spec: dict, bucket: int) -> int:
+        """Per-bucket delta-chain compaction threshold: the configured
+        threshold plus a deterministic stagger (Fibonacci-hash of the
+        bucket id mod jitter+1) so uniform churn does not synchronize
+        every bucket's fold into one stop-the-world batch."""
+        threshold = spec.get("compact_threshold", 8)
+        jitter = spec.get("compact_jitter", max(threshold // 2, 0))
+        if not jitter:
+            return threshold
+        return threshold + (bucket * 2654435761) % (jitter + 1)
 
     @staticmethod
     def _fenced(snap: dict, source: str, batch_id: int) -> bool:
