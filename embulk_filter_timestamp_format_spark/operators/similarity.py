@@ -85,6 +85,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """IVF-Flat ANN with deterministic hash-sampled centroids.
 
@@ -110,6 +111,14 @@ def ivf_topk(
     base = df.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )
+    if persist_intermediate:
+        # the (id, vector, norm) table is the IVF build artifact — it is
+        # read by the centroid sample, the assignment join, the probe
+        # side, and the candidate re-rank; uncached, each branch re-scans
+        # the source and recomputes the norms
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cents_df = base.filter(F.pmod(h, F.lit(centroid_stride)) == 0)
     if cents_df.isEmpty():
         # small datasets / stride > N can leave the hash sample empty, and
@@ -140,9 +149,9 @@ def ivf_topk(
         .groupBy(id_col)
         .agg(F.min("cid").alias("cid"))
     )
-    assigned = df.join(best, id_col)
+    assigned = base.select(id_col, vec_col).join(best, id_col)
 
-    q = df.filter(F.col(id_col).isin(query_ids)).select(
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     qsim = F.round(cosine(F.col("qv"), F.col("cv")), 6)

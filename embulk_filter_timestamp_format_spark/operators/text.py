@@ -102,14 +102,72 @@ def fingerprint64(col: Column) -> Column:
 
 
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All text-analysis columns in one pass, STAGED: the tokenized word
+    arrays and every per-language marker count are computed once in
+    their own projections, and the final projection combines cheap
+    integer attributes. The single-select form (each column calling
+    words()/lang_id() on the raw text) re-ran the split per conditional
+    reference — lang_id's nested argmax CaseWhen duplicates its
+    accumulated subtree into both branches per language, so the
+    tokenization executed ~2^langs times per row under the
+    conditional-context CSE defeat. Output columns and values are
+    identical (same math over the same intermediates)."""
     c = F.col(text_col)
-    return df.select(
+    langs = sorted(LANG_MARKERS.items())
+
+    def marker_filter(ms: list):
+        return lambda w: w.isin(*ms)
+
+    # stage 1: tokenize once (the word array is referenced 6× below —
+    # non-cheap + multiply-referenced, so CollapseProject keeps the stage)
+    stage1 = df.select(
         F.col(id_col),
-        word_count(c).alias("n_words"),
-        bpe_token_count(c).alias("n_bpe_tokens"),
-        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        quality_score(c).alias("quality"),
-        lang_id(c).alias("lang_pred"),
-        fingerprint_md5(c).alias("fp_md5"),
+        c.alias("__t"),
+        words(c).alias("__w"),
+        words(F.lower(c)).alias("__lw"),
+    )
+    # stage 2: every count/length exactly once, as flat columns
+    stage2 = stage1.select(
+        F.col(id_col),
+        F.size("__w").alias("__nw"),
+        F.size("__lw").alias("__nlw"),
+        F.size(F.filter("__lw", lambda w: w.isin(*STOPWORDS))).alias("__sw_hits"),
+        *[
+            F.size(F.filter("__lw", marker_filter(ms))).alias(f"__s_{lang}")
+            for lang, ms in langs
+        ],
+        F.length("__t").alias("__len"),
+        F.length(F.regexp_replace("__t", "[^A-Za-z0-9\\s]", "")).alias("__alnum"),
+        F.regexp_count("__t", F.lit(BPE_TOKEN_RE)).alias("__bpe"),
+        fingerprint_md5(F.col("__t")).alias("__fp"),
+    )
+    # stage 3: combine cheap integer attributes (CaseWhen duplication of
+    # attribute references is harmless)
+    sw_ratio = F.when(
+        F.col("__nlw") > 0, F.col("__sw_hits") / F.col("__nlw")
+    ).otherwise(F.lit(0.0))
+    punct = F.when(
+        F.col("__len") > 0, (F.col("__len") - F.col("__alnum")) / F.col("__len")
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(F.col("__nw") / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct * 5.0)
+    sw_score = F.when(sw_ratio > 0.6, F.lit(0.5)).otherwise(F.lit(1.0))
+    quality = F.round(len_score * 0.5 + punct_pen * 0.3 + sw_score * 0.2, 6)
+    best = F.lit(langs[0][0])
+    best_score = F.col(f"__s_{langs[0][0]}")
+    for lang, _ms in langs[1:]:
+        s = F.col(f"__s_{lang}")
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    lang_pred = F.when(best_score > 0, best).otherwise(F.lit("und"))
+    return stage2.select(
+        F.col(id_col),
+        F.col("__nw").alias("n_words"),
+        F.col("__bpe").alias("n_bpe_tokens"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
+        quality.alias("quality"),
+        lang_pred.alias("lang_pred"),
+        F.col("__fp").alias("fp_md5"),
     )
