@@ -112,6 +112,33 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _jaccard_verify(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verify of (id_a, id_b, sh_a, sh_b) pair rows.
+
+    The intersection/union is computed in a PROJECTION above the join
+    and the threshold filter references the staged column; a
+    nondeterministic barrier column keeps PushPredicateThroughNonJoin
+    (which has no cost guard) from substituting the array expressions
+    back into the join condition, where they would evaluate INTERPRETED
+    per candidate pair instead of codegen'd per row."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union.cast("double")
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(jac, 6).alias("jaccard"),
+        F.monotonically_increasing_id().alias("__nd"),  # pushdown barrier
+    )
+    # `__nd >= 0` is always true but keeps the barrier column referenced
+    # (else ColumnPruning drops it, the projection turns deterministic,
+    # and the predicate pushes into the join condition) and makes the
+    # filter condition nondeterministic, which is never pushed
+    return scored.filter(
+        (F.col("jaccard") >= threshold) & (F.col("__nd") >= 0)
+    ).select("id_a", "id_b", "jaccard")
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard pairs (oracle baseline)
 # ---------------------------------------------------------------------------
@@ -168,13 +195,7 @@ def ngram_jaccard_pairs(
             F.least("sz_a", "sz_b") * 5 >= F.greatest("sz_a", "sz_b") * 4
         )
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_verify(pairs, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -311,12 +332,7 @@ def minhash_lsh_pairs(
     arrs_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     arrs_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = cand.join(arrs_a, "id_a").join(arrs_b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter.cast("double") / union.cast("double")
-    return pairs.select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    return _jaccard_verify(pairs, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -254,23 +254,39 @@ def embedding_neardup_pairs(
 
 def _verify_pairs(cand: DataFrame, base: DataFrame, threshold: float) -> DataFrame:
     """Exact-cosine verify of candidate (id_a, id_b) pairs: vectors
-    hash-join back once per pair; the predicate folds into the top
-    BroadcastHashJoin's extra condition, where the HOF fold evaluates
-    ~3× faster than a 64-term unrolled arithmetic tree (ArrayAggregate
-    interprets one loop; the unrolled tree pays per-node dispatch ×
-    casts in the interpreted join-condition context — measured 3.8 s vs
-    10.8 s per 500k pairs; both are ~10× better than letting Catalyst
-    push the predicate into the slim pair join as a
-    BroadcastNestedLoopJoin condition over the VECTOR-carrying rows)."""
+    hash-join back once per pair; the similarity is computed in a
+    PROJECTION above the join and the threshold filter references only
+    that staged column. Without the barrier, Catalyst pushes the
+    `sim >= t` predicate into the topmost BroadcastHashJoin's extra
+    condition, where expressions evaluate INTERPRETED per pair
+    (measured 3.8 s per 500k pairs for the HOF fold vs ~0.5 s
+    codegen'd in the projection). The filter cannot be pushed back
+    below the projection because the projection carries a
+    nondeterministic column (monotonically_increasing_id) —
+    PushPredicateThroughNonJoin requires all-deterministic fields and
+    has no cost guard, so the barrier must be structural, not
+    cost-based."""
     a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
     sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    scored = (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .filter(sim >= threshold)
-        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            sim.alias("__sim"),
+            F.monotonically_increasing_id().alias("__nd"),  # pushdown barrier
+        )
     )
+    # the barrier column MUST be referenced by the filter (always-true
+    # `__nd >= 0`): unreferenced it is dead code, ColumnPruning drops it,
+    # the projection becomes all-deterministic, and the predicate pushes
+    # into the join condition after all. A nondeterministic filter
+    # condition is never pushed.
+    return scored.filter(
+        (F.col("__sim") >= threshold) & (F.col("__nd") >= 0)
+    ).select("id_a", "id_b", F.round("__sim", 6).alias("cos_sim"))
 
 
 def plane_sign(seed: int, plane: int, i: int) -> float:
