@@ -56,13 +56,21 @@ def q_tsfmt_format_string(spark, sf_dir):
 
 
 def q_tsfmt_parse_roundtrip(spark, sf_dir):
-    """string → timestamp via the ruby-dialect parser; round-trips the µs instant."""
+    """string → timestamp via the ruby-dialect parser; round-trips the µs
+    instant. STAGED projections (render → parse → convert): composing
+    the parse tree directly over the formatter tree puts the formatter
+    subtrees into the parse expression's conditional branches where
+    subexpression elimination does not reach (measured 3× slower
+    inline)."""
     fmt = TimestampFormatterPlan("%Y-%m-%d %H:%M:%S.%N", "UTC")
     parser = TimestampParserPlan(["%Y-%m-%d %H:%M:%S.%N"], "UTC")
     ev = _events(spark, sf_dir)
-    s = fmt.format_expr(_ts_nanos(F.col("ts")))
-    parsed = U.col_nanos_to_timestamp(parser.parse_expr(s))
-    return ev.select(F.col("event_id"), parsed.alias("parsed_ts"))
+    staged = ev.select(
+        F.col("event_id"), fmt.format_expr(_ts_nanos(F.col("ts"))).alias("__s")
+    ).select(F.col("event_id"), parser.parse_expr(F.col("__s")).alias("__n"))
+    return staged.select(
+        F.col("event_id"), U.col_nanos_to_timestamp(F.col("__n")).alias("parsed_ts")
+    )
 
 
 def q_tsfmt_epoch_units(spark, sf_dir):
