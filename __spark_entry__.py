@@ -184,14 +184,18 @@ def q_cdc_changelog(spark, sf_dir):
     bucket pruning is exercised in test_cdc_round2)."""
     ev = _events(spark, sf_dir)
     split = F.col("event_id") < 5000
+    # the two state tables are each read by multiple diff branches (the
+    # anti-join, the tagged union, and the per-side join-backs) — persist
+    # them like the materialized snapshots changes() diffs in production,
+    # instead of recomputing the dedup shuffle per branch
     s1 = dedup_latest(
         ev.filter(split).select("user_id", "event_id", "event_type", "value"),
         key="user_id", seq="event_id",
-    ).select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    ).select("user_id", "event_id", "event_type", F.round("value", 6).alias("value")).persist()
     upd = dedup_latest(
         ev.filter(~split).select("user_id", "event_id", "event_type", "value"),
         key="user_id", seq="event_id",
-    ).withColumn("op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")))
+    ).withColumn("op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))).persist()
     survivors = upd.filter(F.col("op") != "D").select(
         "user_id", "event_id", "event_type", F.round("value", 6).alias("value")
     )
