@@ -210,6 +210,23 @@ class IcebergSparkCatalog:
         )
 
     @staticmethod
+    def evolve_sql(ident: str, changes: list[tuple[str, str, str]]) -> list[str]:
+        """Schema-evolution mapping (IceTable.evolve_schema's retype /
+        add-column commits as Iceberg DDL). ``changes`` is a list of
+        (action, column, type) with action ∈ {'add', 'retype'}; Iceberg
+        applies them metadata-only, exactly like the icetable's
+        cast-projected reads."""
+        out = []
+        for action, column, sqltype in changes:
+            if action == "add":
+                out.append(f"ALTER TABLE {ident} ADD COLUMN {column} {sqltype}")
+            elif action == "retype":
+                out.append(f"ALTER TABLE {ident} ALTER COLUMN {column} TYPE {sqltype}")
+            else:
+                raise ValueError(f"unknown evolution action {action!r}")
+        return out
+
+    @staticmethod
     def expire_sql(catalog: str, ident: str, older_than: str, retain_last: int) -> list[str]:
         return [
             f"CALL {catalog}.system.expire_snapshots(table => '{ident}', "

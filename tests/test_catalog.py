@@ -78,3 +78,14 @@ def test_iceberg_adapter_sql_mapping():
     assert "create_changelog_view" in c and "'start-snapshot-id','5'" in c
     e = IcebergSparkCatalog.expire_sql("ice", "cdc.docs", "2026-01-01 00:00:00", 2)
     assert len(e) == 2 and "expire_snapshots" in e[0] and "remove_orphan_files" in e[1]
+
+    ev = IcebergSparkCatalog.evolve_sql(
+        "ice.cdc.docs",
+        [("retype", "ingest_time_unix", "DOUBLE"), ("add", "quality", "FLOAT")],
+    )
+    assert ev == [
+        "ALTER TABLE ice.cdc.docs ALTER COLUMN ingest_time_unix TYPE DOUBLE",
+        "ALTER TABLE ice.cdc.docs ADD COLUMN quality FLOAT",
+    ]
+    with pytest.raises(ValueError):
+        IcebergSparkCatalog.evolve_sql("t", [("drop", "c", "INT")])
