@@ -159,6 +159,268 @@ def build_regex(pf: ParsedFormat) -> tuple[str, list[FieldRef]]:
 
 
 # ---------------------------------------------------------------------------
+# fixed-width fast path (regex-free)
+# ---------------------------------------------------------------------------
+#
+# A format made of fixed-width numeric fields + literal separators
+# (optionally ending in a fraction and/or a zone) — e.g. the ubiquitous
+# "%Y-%m-%d %H:%M:%S.%N" or the CDC binlog's
+# "%Y-%m-%d %H:%M:%S.%N %z" — can be parsed without the full-line
+# regex AND without the branch-free civil-arithmetic assembly tree:
+# the fixed prefix goes through ONE native try_to_timestamp call with a
+# strict java.time pattern derived from the token IR
+# (_fast_native_civil_sec), whose strict parse validates every digit
+# run and literal separator; the residual checks are a length bound and
+# (for frac/zone tails) a digit-run test plus one tiny anchored rlike
+# on the ≤9-char zone window. Profiling (BENCH/NOTES.md round 4) showed
+# the engine's cost is dominated by the field-extraction + civil
+# assembly EXPRESSION TREE, not the regex execution itself — so the
+# win comes from replacing the whole tree with the native kernel, not
+# from avoiding java.util.regex. Hot paths route rows through this
+# first and fall back to the regex engine via coalesce(fast, slow):
+#
+# * the fast expr yields non-NULL ONLY for exactly-aligned rows, where
+#   it is instant-identical to the regex engine (both kernels are
+#   proleptic Gregorian; frac/zone/from_tz handling is SHARED);
+# * flexible-width rows the regex engine accepts ("2017-1-1", double
+#   spaces via the \s+ literal rule), rows java.time rejects but Ruby
+#   strptime allows (leap-second 60), and years outside [1678, 2261]
+#   all yield NULL → slow path.
+
+_FIXED_WIDTHS = {
+    FT.Y4: 4,
+    FT.MONTH_NUM: 2,
+    FT.DAY_NUM: 2,
+    FT.H24: 2,
+    FT.MINUTE: 2,
+    FT.SECOND: 2,
+}
+
+# java.time letters for the strict prefix pattern (same Spark datetime
+# pattern dialect the formatter uses)
+_FIXED_PATTERNS = {
+    FT.Y4: "yyyy",
+    FT.MONTH_NUM: "MM",
+    FT.DAY_NUM: "dd",
+    FT.H24: "HH",
+    FT.MINUTE: "mm",
+    FT.SECOND: "ss",
+}
+
+
+@dataclass
+class FastLayout:
+    fields: "dict[str, tuple[int, int]]"  # kind -> (1-based pos, width)
+    lits: "list[tuple[int, str]]"  # (1-based pos, literal run)
+    residue: str  # expected translate(col, digits, '') result
+    prefix_len: int  # chars before the fraction/zone tail
+    frac_pos: int  # 0 = no fraction
+    frac_max: int
+    # optional trailing zone (%z / %Z as the FINAL token): with a
+    # fraction the zone is cut at the (non-empty) literal between them;
+    # without, it sits at a fixed position
+    zone: bool = False
+    zone_lit: str = ""  # literal between fraction and zone
+    # strict java.time pattern for the fixed-width prefix (fields +
+    # quoted literals, in layout order) — the native civil kernel parses
+    # substring(col, 1, prefix_len) against it in ONE call
+    pattern: str = ""
+
+
+def fast_layout(pf: ParsedFormat) -> "FastLayout | None":
+    """Token-IR analysis: the layout for the regex-free path, or None
+    when the format doesn't qualify (names, epoch, flexible pads,
+    non-final fractions/zones, duplicate fields, digit literals)."""
+    if pf.java_nano_hack:
+        return None  # raw-text nano override needs its own regex pass
+    pos = 1
+    fields: dict[str, tuple[int, int]] = {}
+    lits: list[tuple[int, str]] = []
+    residue: list[str] = []
+    pat: list[str] = []
+    frac_pos = frac_max = 0
+    zone = False
+    zone_lit = ""
+    toks = [t for t in pf.tokens if not (t.kind == FT.LIT and not t.text)]
+    for i, tok in enumerate(toks):
+        if frac_pos and tok.kind not in (FT.LIT, FT.TZOFF, FT.TZNAME):
+            return None  # after the fraction only <lit><zone> may follow
+        if tok.kind == FT.LIT:
+            if any(ch.isdigit() for ch in tok.text):
+                return None  # digit literal breaks the digit-window checks
+            if frac_pos:
+                if zone_lit or i + 1 >= len(toks):
+                    return None  # exactly one literal, then the zone
+                zone_lit = tok.text
+                continue
+            lits.append((pos, tok.text))
+            residue.append(tok.text)
+            pat.append("'" + tok.text.replace("'", "''") + "'")
+            pos += len(tok.text)
+            continue
+        if tok.kind == FT.FRAC:
+            if frac_pos:
+                return None
+            frac_pos = pos
+            frac_max = 9 if tok.variable else tok.digits
+            continue
+        if tok.kind in (FT.TZOFF, FT.TZNAME):
+            if i != len(toks) - 1 or zone:
+                return None  # zone must end the format
+            if frac_pos and not zone_lit:
+                return None  # digit-run/zone boundary needs a delimiter
+            zone = True
+            continue
+        w = _FIXED_WIDTHS.get(tok.kind)
+        if w is None or tok.pad == "_" or tok.kind in fields:
+            return None
+        fields[tok.kind] = (pos, w)
+        pat.append(_FIXED_PATTERNS[tok.kind])
+        pos += w
+    if not fields:
+        return None
+    if frac_pos and zone_lit and not zone:
+        return None  # trailing literal after the fraction, no zone
+    return FastLayout(
+        fields=fields,
+        lits=lits,
+        residue="".join(residue),
+        prefix_len=pos - 1,
+        frac_pos=frac_pos,
+        frac_max=frac_max,
+        zone=zone,
+        zone_lit=zone_lit,
+        pattern="".join(pat),
+    )
+
+
+_ZONE_SHAPE = r"^(?:%s|%s)$" % (_OFFSET_RE, _NAME_RE)
+
+
+def _fast_parts(
+    col: Column, L: FastLayout
+) -> "tuple[Column, Column | None, Column | None]":
+    """(match_cond, frac_expr, zone_expr) for the regex-free path.
+
+    The strict prefix parse (:func:`_fast_native_civil_sec`) validates
+    every field digit run and literal separator — a misaligned or
+    sign-bearing prefix simply fails to parse (NULL → slow path). The
+    residual checks here cover only the TAIL that the substring cut
+    hides from the prefix pattern: total length (without them, trailing
+    junk after an aligned prefix would be silently dropped), the
+    fraction digit-run bounds, and the zone window's shape (one tiny
+    anchored rlike over ≤9 chars — orders cheaper than the full-line
+    regex)."""
+    frac_expr = zone_expr = None
+    if L.frac_pos and L.zone:
+        rest = F.substring(col, L.frac_pos, 1_000_000)
+        arr = F.split(rest, re.escape(L.zone_lit), 2)
+        frac_expr = F.try_element_at(arr, F.lit(1))
+        zone_expr = F.try_element_at(arr, F.lit(2))
+    elif L.frac_pos:
+        frac_expr = F.substring(col, L.frac_pos, 9)
+    elif L.zone:
+        # the literal before a frac-less zone is a regular fixed-position
+        # literal already counted in prefix_len
+        zone_expr = F.substring(col, L.prefix_len + 1, 1_000_000)
+
+    n = F.length(col)
+    if not L.zone:
+        if L.frac_pos:
+            cond = n.between(L.prefix_len + 1, L.prefix_len + L.frac_max)
+        else:
+            cond = n == L.prefix_len
+    else:
+        cond = n > L.prefix_len
+    if L.frac_pos:
+        cond = (
+            cond
+            & F.length(frac_expr).between(1, L.frac_max)
+            & (F.translate(frac_expr, "0123456789", "") == "")
+        )
+    if L.zone:
+        cond = cond & zone_expr.rlike(_ZONE_SHAPE)
+    return cond, frac_expr, zone_expr
+
+
+def _fast_native_civil_sec(col: Column, L: FastLayout) -> Column:
+    """Civil wall-clock seconds for exactly-aligned rows via Spark's own
+    datetime kernel: ``substring(col, 1, prefix_len)`` parsed with
+    ``try_to_timestamp`` against the layout's strict java.time pattern
+    (``L.pattern``, fields + quoted literals in layout order) — ONE
+    substring and one native parse per row, measured ~1.6× faster than
+    the branch-free civil-arithmetic tree (BENCH/NOTES.md round 4). The
+    strict parse also validates every digit run and literal separator
+    (no translate-residue or per-window checks needed), and returns NULL
+    exactly where java.time rejects the civil value (misalignment,
+    invalid dates, leap-second 60 — which the regex engine rolls over
+    per Ruby strptime), so callers that ``coalesce(fast, slow)`` keep
+    exact engine semantics: a NULL fast value falls through to the regex
+    engine; a non-NULL fast value is instant-identical because both
+    kernels are proleptic Gregorian.
+
+    ``try_to_timestamp`` THROWS (kills the batch) on year 0 instead of
+    returning NULL, so the year window is pre-checked with a
+    lexicographic string compare (4-digit digit-only windows compare
+    numerically; non-digit windows fail the compare and fall through).
+    Years outside [1678, 2261] overflow int64 nanos in every case the
+    engine accepts, so routing them to the slow path changes nothing.
+
+    Session-zone dependence: ``try_to_timestamp`` interprets the civil
+    string in the SESSION zone — callers gate this kernel on a UTC
+    session (`staged_stages` falls back to pure regex staging
+    otherwise), the same requirement the DST ``from_tz`` path and the
+    formatter already carry."""
+
+    prefix = F.substring(col, 1, L.prefix_len)
+    if FT.Y4 in L.fields:
+        ypos, _w = L.fields[FT.Y4]
+        prefix = F.when(
+            F.substring(col, ypos, 4).between("1678", "2261"), prefix
+        )
+    return F.unix_seconds(F.try_to_timestamp(prefix, F.lit(L.pattern)))
+
+
+def _utc_session_active() -> bool:
+    """True when the active session's timezone is UTC — the native civil
+    kernel parses in the session zone, so the staged fast path is only
+    eligible under UTC (the engine's formatter/DST-zone paths already
+    require it; non-UTC sessions degrade to pure regex staging)."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return False
+        tz = s.conf.get("spark.sql.session.timeZone", "")
+        return tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
+    except Exception:
+        return False
+
+
+def _wscg_enabled() -> bool:
+    """Whole-stage-codegen state of the active session at PLAN BUILD
+    time. The gated fast staging spans 4 consecutive projections; WSCG
+    fuses them into ONE generated class whose apply method lands beyond
+    HotSpot's JIT size threshold — measured 1.8 s vs 0.78 s per 2M rows
+    flipping only this conf (BENCH/NOTES.md round 4). Per-operator
+    codegen (wholeStage=false, the engine's documented hot-loop config —
+    the CDC batch body sets it around every micro-batch) compiles each
+    projection separately and the fast staging wins; under WSCG the
+    r03 single/two-select regex shapes are the best known, so
+    ``staged_stages`` picks per config."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return True
+        return s.conf.get("spark.sql.codegen.wholeStage", "true").lower() == "true"
+    except Exception:
+        return True
+
+
+# ---------------------------------------------------------------------------
 # Catalyst assembly
 # ---------------------------------------------------------------------------
 
@@ -217,50 +479,91 @@ _MARK = "\x01"  # match sentinel (cannot occur in timestamp text)
 _SEP = "\x02"  # field separator
 
 
-def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
+def format_parse_expr(
+    col: Column,
+    pf: ParsedFormat,
+    from_tz: str,
+    fast: "FastLayout | None" = None,
+    staged: "tuple[Column, Column] | None" = None,
+) -> Column:
     """One format → epoch-nanos Column (NULL on mismatch/invalid).
 
-    All capture groups are extracted in a SINGLE regex pass:
-    ``regexp_replace(col, pattern, "\\x01$1\\x02$2...")`` rewrites a
-    matching value into a sentinel-prefixed, separator-delimited field
+    Default mode — all capture groups are extracted in a SINGLE regex
+    pass: ``regexp_replace(col, pattern, "\\x01$1\\x02$2...")`` rewrites
+    a matching value into a sentinel-prefixed, separator-delimited field
     string (a non-match passes through unchanged → no sentinel); fields
     are then O(1) array lookups. One regex execution per (row, format)
     instead of one per (row, field) — ~10× less regex work and ~10×
     smaller generated code than per-field regexp_extract.
+
+    ``fast=FastLayout`` — regex-free variant: fields are substring
+    windows, the match test is ``_fast_match``. NULL for any row the
+    layout doesn't exactly fit (callers coalesce with the regex engine).
+
+    ``staged=(marked, parts)`` — assembly over pre-staged extraction
+    attributes (the hot-path projection staging builds ``marked``
+    conditionally so aligned rows skip the regex entirely).
+
+    The civil/time/zone assembly below is SHARED by all three modes —
+    the fast path is value-identical to the regex engine by
+    construction wherever it matches.
     """
     pattern, fields = build_regex(pf)
     by_kind: dict[str, list[FieldRef]] = {}
     for fr in fields:
         by_kind.setdefault(fr.tok.kind, []).append(fr)
 
-    repl = _MARK + _SEP.join(f"${i + 1}" for i in range(len(fields)))
-    marked = F.regexp_replace(col, pattern, repl)
-    matched = marked.startswith(_MARK)
-    # NOTE: parts must stay a PLAIN shared expression — wrapping it in
-    # when(matched, …) makes every field reference inline the whole
-    # regexp_replace subtree (CSE is defeated in conditional contexts),
-    # which re-runs the regex per field and blows codegen past 64 KB.
-    # Leak protection for unmatched rows (whose original text passes
-    # through into group 1) is done by clamping numeric fields in gi().
-    parts = F.split(F.substring(marked, 2, 1_000_000), _SEP, -1)
+    if fast is not None:
 
-    def g(fr: FieldRef) -> Column:
-        return F.try_element_at(parts, F.lit(fr.group))
+        matched, _frac_expr, _zone_expr = _fast_parts(col, fast)
 
-    def gi(fr: FieldRef) -> Column:
-        v = F.trim(g(fr)).try_cast("int")
-        if fr.group != 1:
-            return v
-        # clamp GROUP 1 only: on a NON-match the original text passes
-        # through regexp_replace unchanged and (having no \x02) lands
-        # whole in parts[1] — a long digit run try_casts to a huge int
-        # whose downstream arithmetic (e.g. 153*mp in days_from_civil)
-        # overflows under ANSI even though `matched` is false (CSE
-        # evaluates eagerly). Groups ≥ 2 are NULL on non-match; true
-        # matches are regex-bounded to ≤ 4 digits, so the clamp never
-        # alters them. Narrow scope keeps the added CaseWhen out of the
-        # other field subtrees (codegen size).
-        return F.when(v.between(-99999, 99999), v)
+        def g(fr: FieldRef) -> Column:
+            if fr.tok.kind == FT.FRAC:
+                # all remaining digits (1..frac_max, bounded by the checks)
+                return _frac_expr
+            if fr.tok.kind in (FT.TZOFF, FT.TZNAME):
+                return _zone_expr
+            pos, w = fast.fields[fr.tok.kind]
+            return F.substring(col, pos, w)
+
+        def gi(fr: FieldRef) -> Column:
+            # windows are ≤ 4 digit chars whenever `matched` holds — no
+            # unmatched-text leak, so no clamp needed
+            return F.trim(g(fr)).try_cast("int")
+
+    else:
+        repl = _MARK + _SEP.join(f"${i + 1}" for i in range(len(fields)))
+        if staged is not None:
+            marked, parts = staged
+        else:
+            marked = F.regexp_replace(col, pattern, repl)
+            # NOTE: parts must stay a PLAIN shared expression — wrapping
+            # it in when(matched, …) makes every field reference inline
+            # the whole regexp_replace subtree (CSE is defeated in
+            # conditional contexts), which re-runs the regex per field
+            # and blows codegen past 64 KB. Leak protection for
+            # unmatched rows (whose original text passes through into
+            # group 1) is done by clamping numeric fields in gi().
+            parts = F.split(F.substring(marked, 2, 1_000_000), _SEP, -1)
+        matched = marked.startswith(_MARK)
+
+        def g(fr: FieldRef) -> Column:
+            return F.try_element_at(parts, F.lit(fr.group))
+
+        def gi(fr: FieldRef) -> Column:
+            v = F.trim(g(fr)).try_cast("int")
+            if fr.group != 1:
+                return v
+            # clamp GROUP 1 only: on a NON-match the original text passes
+            # through regexp_replace unchanged and (having no \x02) lands
+            # whole in parts[1] — a long digit run try_casts to a huge int
+            # whose downstream arithmetic (e.g. 153*mp in days_from_civil)
+            # overflows under ANSI even though `matched` is false (CSE
+            # evaluates eagerly). Groups ≥ 2 are NULL on non-match; true
+            # matches are regex-bounded to ≤ 4 digits, so the clamp never
+            # alters them. Narrow scope keeps the added CaseWhen out of
+            # the other field subtrees (codegen size).
+            return F.when(v.between(-99999, 99999), v)
 
     def first(kind: str) -> "FieldRef | None":
         lst = by_kind.get(kind)
@@ -295,6 +598,22 @@ def format_parse_expr(col: Column, pf: ParsedFormat, from_tz: str) -> Column:
         # contexts); NULL nanos = invalid row.
         es = F.trim(g(ep)).try_cast("long")
         nanos = F.try_add(F.try_multiply(es, F.lit(1_000_000_000)), frac_nanos)
+        return F.when(matched, nanos).otherwise(F.lit(None).cast("long"))
+
+    if fast is not None:
+        # --- fast mode: native civil kernel -------------------------
+        # fixed windows canonicalize into ONE try_to_timestamp call; its
+        # NULL covers date/time validity (plus the leap-60 rollover the
+        # regex engine allows — those rows fall through to it). Zone
+        # handling is the same two branches as the shared tail below,
+        # over the same helpers.
+        naive_sec = _fast_native_civil_sec(col, fast)
+        zone_fr = first(FT.TZOFF) or first(FT.TZNAME)
+        if zone_fr is not None:
+            utc_sec = naive_sec - _col_offset_seconds(g(zone_fr))
+        else:
+            utc_sec = _apply_from_tz_col(naive_sec, from_tz)
+        nanos = F.try_add(F.try_multiply(utc_sec, F.lit(1_000_000_000)), frac_nanos)
         return F.when(matched, nanos).otherwise(F.lit(None).cast("long"))
 
     # --- civil date ---
@@ -812,6 +1131,86 @@ class TimestampParserPlan:
         with ``cascade_from_staged``."""
         return [format_parse_expr(col, pf, self.from_timezone) for pf in self.parsed]
 
+    def staged_stages(
+        self, col: Column, tag: str, fast: "bool | None" = None
+    ) -> "tuple[list[dict[str, Column]], list[str]]":
+        """The hot-path projection staging: returns (stages, pf_names)
+        where each stage is a dict of columns to append in its own
+        successive ``select`` (the source columns must be passed
+        through), and pf_names are the final per-format epoch-nanos
+        columns (combine with ``cascade_from_staged``, or reference
+        directly for one format).
+
+        ``fast=None`` (auto) engages the fixed-width fast path only when
+        the session is UTC (the native kernel parses in the session
+        zone) AND whole-stage codegen is OFF at build time (under WSCG
+        the 4 projections fuse into one JIT-hostile class — see
+        ``_wscg_enabled``; the CDC batch body runs WSCG-off, so it gets
+        the fast shape automatically). Otherwise the r03 regex shapes
+        are emitted: one stage holding every format's self-contained
+        parse expression (single-format callers collapse to one
+        projection via CollapseProject).
+
+        With the fast path, per format the stages are:
+
+        1. ``__ft`` — regex-free nanos (fast-eligible formats only; NULL
+           unless the row exactly fits the fixed-width layout — native
+           civil kernel, shared frac/zone assembly — instant-identical
+           to the regex engine where non-NULL);
+        2. ``__mk`` — the regex extraction, gated on EVERY fast column
+           up to and including this format being NULL: a row the fast
+           path of format j ≤ i already parsed never executes format
+           i's regex (first-match-wins makes later formats irrelevant).
+           On an all-fast-matching feed (the CDC binlog) NO regex
+           executes at all;
+        3. ``__pt`` — the split field array (its OWN stage: referenced
+           once per field by stage 4, and conditional-context CSE would
+           otherwise re-run the split per reference);
+        4. ``__pf`` — ``coalesce(__ft, <regex assembly over __mk/__pt>)``
+           (just the regex assembly for ineligible formats).
+
+        Each staged column is non-cheap and/or multiply referenced, so
+        CollapseProject keeps every stage (the same discipline as
+        ``cascade_from_staged``).
+        """
+        if fast is None:
+            fast = _utc_session_active() and not _wscg_enabled()
+        if not fast:
+            stage = {
+                f"__pf{i}__{tag}": e
+                for i, e in enumerate(self.format_exprs(col))
+            }
+            return [stage], list(stage)
+        stages: list[dict[str, Column]] = [{}, {}, {}, {}]
+        names: list[str] = []
+        ft_so_far: list[str] = []
+        for i, pf in enumerate(self.parsed):
+            name = f"__pf{i}__{tag}"
+            names.append(name)
+            layout = fast_layout(pf)
+            ft, mk, pt = f"__ft{i}__{tag}", f"__mk{i}__{tag}", f"__pt{i}__{tag}"
+            pattern, fields = build_regex(pf)
+            repl = _MARK + _SEP.join(f"${j + 1}" for j in range(len(fields)))
+            if layout is not None:
+                stages[0][ft] = format_parse_expr(
+                    col, pf, self.from_timezone, fast=layout
+                )
+                ft_so_far.append(ft)
+            gate = None
+            for f_col in ft_so_far:
+                g = F.col(f_col).isNull()
+                gate = g if gate is None else gate & g
+            regex = F.regexp_replace(col, pattern, repl)
+            stages[1][mk] = regex if gate is None else F.when(gate, regex)
+            stages[2][pt] = F.split(F.substring(F.col(mk), 2, 1_000_000), _SEP, -1)
+            slow = format_parse_expr(
+                col, pf, self.from_timezone, staged=(F.col(mk), F.col(pt))
+            )
+            stages[3][name] = (
+                F.coalesce(F.col(ft), slow) if layout is not None else slow
+            )
+        return [s for s in stages if s], names
+
     def cascade_from_staged(self, staged: list[Column]) -> Column:
         """First-match-wins cascade over per-format nanos columns that
         were staged in a SEPARATE select (same order semantics as the
@@ -827,21 +1226,25 @@ class TimestampParserPlan:
             out = F.when(c.isNotNull(), c) if out is None else out.when(c.isNotNull(), c)
         return out.otherwise(F.lit(None).cast("long"))
 
-    def parse_df(self, df, col, out: str):
-        """Staged multi-format parse: returns ``df`` with ``out``
-        (epoch-nanos long, NULL on total parse failure) appended — THE
-        way to run a multi-format cascade on a hot path (each format's
-        extraction runs exactly once per row, whole-stage codegen'd)."""
+    def parse_df(self, df, col, out: str, fast: "bool | None" = None):
+        """Staged parse: returns ``df`` with ``out`` (epoch-nanos long,
+        NULL on total parse failure) appended — THE way to parse on a
+        hot path. Each format's regex extraction runs AT MOST once per
+        row; with whole-stage codegen off and a UTC session (the CDC
+        batch config) fixed-width rows additionally skip the regex
+        entirely via the native fast path (``fast=None`` auto-detects;
+        see ``staged_stages``)."""
         c = F.col(col) if isinstance(col, str) else col
-        if len(self.parsed) == 1:
-            return df.withColumn(out, self.parse_expr(c))
-        tmps = [f"__pf{i}__{out}" for i in range(len(self.parsed))]
-        staged = df.select(
-            "*", *[e.alias(t) for e, t in zip(self.format_exprs(c), tmps)]
+        stages, names = self.staged_stages(c, out, fast=fast)
+        cur = df
+        for s in stages:
+            cur = cur.select("*", *[e.alias(n) for n, e in s.items()])
+        final = (
+            F.col(names[0])
+            if len(names) == 1
+            else self.cascade_from_staged([F.col(n) for n in names])
         )
-        keep = [F.col(n) for n in df.columns]
-        cascade = self.cascade_from_staged([F.col(t) for t in tmps])
-        return staged.select(*keep, cascade.alias(out))
+        return cur.select(*[F.col(n) for n in df.columns], final.alias(out))
 
     def parse_np(self, s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         return np_parse(s, self.parsed, self.from_timezone)

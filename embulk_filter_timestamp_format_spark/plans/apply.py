@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -182,29 +182,26 @@ class CompiledProjection:
         if self.arrow:
             return
 
-        # Stage 0: MULTI-format string casts stage one epoch-nanos column
-        # PER format; the cascade then combines cheap attributes. Without
-        # this, formats 2..k live in coalesce's conditional children where
-        # subexpression elimination is defeated and every field reference
-        # re-runs the format's regex extraction (~15× regex work/row).
-        multi = {
-            name: cp
-            for name, cp in self.casts.items()
-            if cp.needs_instant
-            and cp.source_type == "string"
-            and len(cp.parser.parsed) > 1
-        }
-        self.stage0 = None
+        # Pre-stages: EVERY string cast stages its parse through the
+        # fast-path/regex staging (functions.parse.staged_stages) —
+        # fixed-width rows skip the regex entirely, each format's regex
+        # extraction runs at most once per row, and the cascade then
+        # combines cheap attributes. Levels are merged across columns
+        # (each column's chain is self-contained, so alignment is free).
+        # Without staging, formats 2..k live in coalesce's conditional
+        # children where subexpression elimination is defeated and every
+        # field reference re-runs the format's regex extraction (~15×
+        # regex work/row).
+        self.pre_levels: list[list[tuple[str, Column]]] = []
         pf_cols: dict[str, list[str]] = {}
-        if multi:
-            self.stage0 = [F.col(f.name) for f in schema.fields]
-            for name, cp in multi.items():
-                tmps = [f"__pf{i}__{name}" for i in range(len(cp.parser.parsed))]
-                self.stage0 += [
-                    e.alias(t)
-                    for e, t in zip(cp.parser.format_exprs(F.col(name)), tmps)
-                ]
-                pf_cols[name] = tmps
+        for name, cp in self.casts.items():
+            if cp.needs_instant and cp.source_type == "string":
+                stages, names = cp.parser.staged_stages(F.col(name), name)
+                pf_cols[name] = names
+                while len(self.pre_levels) < len(stages):
+                    self.pre_levels.append([])
+                for lvl, s in enumerate(stages):
+                    self.pre_levels[lvl].extend(s.items())
 
         # Stage 1: instant-routed casts compute epoch-nanos into
         # intermediate columns (one evaluation; the formatter then
@@ -217,16 +214,18 @@ class CompiledProjection:
         self.stage1 = None
         if staged:
             self.stage1 = [F.col(f.name) for f in schema.fields]
-            self.stage1 += [
-                (
-                    self.casts[name].parser.cascade_from_staged(
-                        [F.col(t) for t in pf_cols[name]]
-                    )
-                    if name in pf_cols
-                    else self.casts[name].to_nanos_expr(F.col(name))
-                ).alias(tmp)
-                for name, tmp in staged.items()
-            ]
+
+            def _nanos_col(name: str) -> Column:
+                if name not in pf_cols:
+                    return self.casts[name].to_nanos_expr(F.col(name))
+                pfs = pf_cols[name]
+                if len(pfs) == 1:
+                    return F.col(pfs[0])
+                return self.casts[name].parser.cascade_from_staged(
+                    [F.col(t) for t in pfs]
+                )
+
+            self.stage1 += [_nanos_col(name).alias(tmp) for name, tmp in staged.items()]
         self.stage2 = []
         for f in schema.fields:
             if f.name in staged:
@@ -245,8 +244,8 @@ class CompiledProjection:
     def apply(self, df: DataFrame) -> DataFrame:
         if self.arrow:
             return _apply_arrow(df, self.task, self.casts, self.json_plans)
-        if self.stage0 is not None:
-            df = df.select(*self.stage0)
+        for level in self.pre_levels:
+            df = df.select("*", *[e.alias(n) for n, e in level])
         if self.stage1 is not None:
             df = df.select(*self.stage1)
         return df.select(*self.stage2)
@@ -330,23 +329,34 @@ class InvalidFlagPlan:
         if not self.can_fail:
             return
         srcs = [n for n, _ in scasts if n not in keep]
-        self.stage_a: list = [F.col(c) for c in keep + srcs]
+        # per-column fast-path/regex staging (same machinery as
+        # CompiledProjection — fixed-width rows skip the regex)
+        self.pre_levels: list[list[tuple[str, Column]]] = []
         cond = None
         for name, plan in scasts:
-            tmps = []
-            for i, e in enumerate(plan.parser.format_exprs(F.col(name))):
-                t = f"__pf{i}__{name}"
-                self.stage_a.append(e.alias(t))
-                tmps.append(t)
-            parsed = plan.parser.cascade_from_staged([F.col(t) for t in tmps])
+            stages, names = plan.parser.staged_stages(F.col(name), f"bad_{name}")
+            while len(self.pre_levels) < len(stages):
+                self.pre_levels.append([])
+            for lvl, s in enumerate(stages):
+                self.pre_levels[lvl].extend(s.items())
+            parsed = (
+                F.col(names[0])
+                if len(names) == 1
+                else plan.parser.cascade_from_staged([F.col(t) for t in names])
+            )
             c = F.col(name).isNotNull() & parsed.isNull()
             cond = c if cond is None else cond | c
+        self._keep = keep
+        self._srcs = srcs
         self.stage_b: list = [F.col(c) for c in keep] + [
             cond.cast("int").alias(self.FLAG)
         ]
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.select(*self.stage_a).select(*self.stage_b)
+        df = df.select(*[F.col(c) for c in self._keep + self._srcs])
+        for level in self.pre_levels:
+            df = df.select("*", *[e.alias(n) for n, e in level])
+        return df.select(*self.stage_b)
 
 
 def invalid_filter(df_in: DataFrame, task: TaskConfig) -> "DataFrame | None":

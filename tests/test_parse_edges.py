@@ -374,3 +374,136 @@ def test_tzdb_divergence_domains_pinned(spark, zone, wall, expect_diff):
         f"{zone} {wall}: catalyst-numpy divergence changed "
         f"({diff_sec}s, pinned {expect_diff}s)"
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-width fast path (round 4): regex-free parse must be
+# indistinguishable from the regex engine
+# ---------------------------------------------------------------------------
+
+
+def test_fast_layout_eligibility():
+    from embulk_filter_timestamp_format_spark.functions import formats as FT
+    from embulk_filter_timestamp_format_spark.functions.parse import fast_layout
+
+    L = fast_layout(FT.parse_format("%Y-%m-%d %H:%M:%S.%N"))
+    assert L is not None
+    assert L.prefix_len == 20 and L.frac_pos == 21 and L.frac_max == 9
+    assert L.residue == "-- ::."
+    assert L.fields[FT.Y4] == (1, 4) and L.fields[FT.SECOND] == (18, 2)
+    # the strict java.time pattern the native civil kernel parses with
+    assert L.pattern == "yyyy'-'MM'-'dd' 'HH':'mm':'ss'.'"
+
+    # trailing zones qualify (fixed position, or cut at the literal
+    # after the fraction)
+    Lz = fast_layout(FT.parse_format("%Y-%m-%d %H:%M:%S %z"))
+    assert Lz is not None and Lz.zone and not Lz.frac_pos and Lz.prefix_len == 20
+    Lfz = fast_layout(FT.parse_format("%Y-%m-%d %H:%M:%S.%N %z"))
+    assert Lfz is not None and Lfz.zone and Lfz.frac_pos == 21 and Lfz.zone_lit == " "
+
+    ineligible = [
+        "%z %H",                   # zone not final
+        "%H.%N%z",                 # no delimiter between fraction and zone
+        "%s",                      # variable-width epoch
+        "%Y-%b-%d",                # month name
+        "%N %H",                   # fraction not final
+        "%H:%H",                   # duplicate field
+        "%d2%m",                   # digit literal breaks residue
+        "%_d/%m",                  # space-pad flag
+        "'abc'",                   # no numeric fields (joda literal)
+    ]
+    for f in ineligible:
+        assert fast_layout(FT.parse_format(f)) is None, f
+
+
+def _parse_vals(spark, fmt, vals, via_df=True):
+    from pyspark.sql import functions as F
+
+    from embulk_filter_timestamp_format_spark.functions.parse import (
+        TimestampParserPlan,
+    )
+
+    p = TimestampParserPlan([fmt], "UTC")
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    if via_df:  # staged fast path (forced on — the default only engages
+        # it under WSCG-off sessions, see staged_stages)
+        rows = p.parse_df(df, "s", "n", fast=True).select("n").collect()
+    else:  # inline regex engine
+        rows = df.select(p.parse_expr(F.col("s")).alias("n")).collect()
+    return [r["n"] for r in rows]
+
+
+def test_fast_path_agrees_with_regex_engine(spark):
+    """Adversarial sweep: aligned, flexible-width, misaligned, and
+    malicious rows must come out identical through the staged fast path
+    and the inline regex engine."""
+    cases = {
+        "%Y-%m-%d %H:%M:%S.%N": [
+            "2017-01-01 12:34:56.123456789",   # aligned, full frac
+            "2017-01-01 12:34:56.5",           # aligned, 1-digit frac
+            "2017-1-01 12:34:56.123",          # flex month → regex engine
+            "2017-01-01  12:34:56.1",          # double space (\s+ literal)
+            "2017-01-01 12:34:56.1234567890",  # 10 frac digits → invalid
+            "2017-01-01 12:34:56.",            # empty frac → invalid
+            "2017-02-30 12:00:00.1",           # aligned, invalid date
+            "2017-01-01 12:34:60.1",           # leap second (engine allows)
+            "garbage",
+            None,
+        ],
+        "%Y-%m": [
+            "2017-01",
+            "2017-1",     # flex → regex engine
+            "-217001",    # the residue exploit: must NOT fabricate year -217
+            "20170-1",
+            "2017-13",    # invalid month
+        ],
+        "%H:%M": ["12:34", "1:23", "123:4", "1:234", "00:00", "23:59", "24:00"],
+        "%Y%m%d": ["20170102", "2017012", "abcdefgh"],
+        "%Y-%m-%d %H:%M:%S.%N %z": [
+            "2017-01-01 12:34:56.123 UTC",       # the CDC binlog shape
+            "2017-01-01 12:34:56.123456789 +09:00",
+            "2017-01-01 12:34:56.1 -0830",
+            "2017-01-01 12:34:56.1 +09",
+            "2017-01-01 12:34:56.123 JST",
+            "2017-01-01 12:34:56.123 XXXXX",     # unknown name → invalid
+            "2017-01-01 12:34:56.123 +09001",    # malformed offset → invalid
+            "2017-01-01 12:34:56.123 UTC junk",  # trailing junk → invalid
+            "2017-01-01 12:34:56.123",           # zone missing → invalid
+            "2017-1-01 12:34:56.123 UTC",        # flex month → regex engine
+        ],
+        "%Y-%m-%d %H:%M:%S %z": [
+            "2017-01-01 12:34:56 UTC",
+            "2017-01-01 12:34:56 +09:30:15",
+            "2017-01-01 12:34:56 Z",
+            "2017-01-01 12:34:56  UTC",          # double space → regex engine
+            "2017-01-01 12:34:56UTC",            # missing space → invalid
+        ],
+    }
+    for fmt, vals in cases.items():
+        fast = _parse_vals(spark, fmt, vals, via_df=True)
+        slow = _parse_vals(spark, fmt, vals, via_df=False)
+        assert fast == slow, f"{fmt}: {list(zip(vals, fast, slow))}"
+
+
+def test_fast_path_values_match_numpy_engine(spark):
+    """Aligned rows through the fast path equal the numpy twin (the
+    cross-engine contract the hypothesis suite enforces for the regex
+    engine)."""
+    import pandas as pd
+
+    from embulk_filter_timestamp_format_spark.functions.parse import (
+        TimestampParserPlan,
+    )
+
+    vals = [
+        "2017-01-01 12:34:56.123456789",
+        "1969-12-31 23:59:59.999999999",
+        "2262-04-11 23:47:16.854775807",
+    ]
+    p = TimestampParserPlan(["%Y-%m-%d %H:%M:%S.%N"], "UTC")
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [
+        r["n"] for r in p.parse_df(df, "s", "n", fast=True).select("n").collect()
+    ]
+    np_nanos, _ = p.parse_np(pd.Series(vals))
+    assert got == list(np_nanos)
