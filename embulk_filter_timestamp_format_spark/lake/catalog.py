@@ -24,6 +24,7 @@ conformance.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from typing import Optional, Protocol, runtime_checkable
 
@@ -140,14 +141,17 @@ class IcebergSparkCatalog:
       INSERT *) — Iceberg executes it as copy-on-write or merge-on-read
       per ``write.merge.mode``, the same dial as IceTable's
       ``write_mode``;
-    * batch fence  — :meth:`fence_property_sql`: the last applied batch
-      id per source is recorded in a table property
-      (``cdc.last-batch-id.<source>``), checked before applying. NOTE:
-      with plain SQL the property commit is separate from the MERGE
-      commit; a crash between them re-applies the batch — harmless for
-      a dedup-latest batch keyed on (doc_id, event_seq) because the
-      MERGE is idempotent, but the single-commit variant needs the Java
-      API's snapshot-summary properties;
+    * batch fence  — :meth:`fence_property_sql` /
+      :meth:`last_batch_id_sql`: the last applied batch id per source is
+      recorded in a table property (``cdc.last-batch-id.<source>``);
+      :meth:`merge_into` reads it first (``SHOW TBLPROPERTIES``) and
+      no-ops when ``batch_id <= last`` — the same pre-apply fence as
+      ``IceTable.merge_into``. NOTE: with plain SQL the property commit
+      is separate from the MERGE commit; a crash between them re-applies
+      the batch — harmless for a dedup-latest batch keyed on
+      (doc_id, event_seq) because the MERGE is idempotent, but the
+      single-commit variant needs the Java API's snapshot-summary
+      properties;
     * changelog    — :meth:`changelog_sql`: Iceberg's
       ``create_changelog_view`` procedure between two snapshots;
     * expiration   — :meth:`expire_sql`: ``expire_snapshots`` +
@@ -171,6 +175,29 @@ class IcebergSparkCatalog:
         self.catalog_name = catalog_name
 
     # -- pure SQL builders (the documented, unit-tested mapping) --------
+    #
+    # Every interpolated identifier/literal passes _safe_ident /
+    # _safe_literal first: the builders emit unquoted dotted identifiers
+    # (so the pinned SQL matches what users write), which is only sound
+    # if the names can't smuggle SQL — a quote, backtick, space, or
+    # parenthesis in a name raises instead of being interpolated.
+
+    _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+    @staticmethod
+    def _safe_ident(name: str, what: str = "identifier") -> str:
+        if not IcebergSparkCatalog._IDENT_RE.match(name or ""):
+            raise ValueError(
+                f"unsafe {what} {name!r}: only dotted [A-Za-z0-9_] names are "
+                "interpolated into SQL (quote-bearing names are rejected)"
+            )
+        return name
+
+    @staticmethod
+    def _safe_literal(value: str, what: str = "literal") -> str:
+        if "'" in value or "\\" in value:
+            raise ValueError(f"unsafe {what} {value!r}: quotes/backslashes rejected")
+        return value
 
     @staticmethod
     def merge_sql(
@@ -180,6 +207,12 @@ class IcebergSparkCatalog:
         op_col: str = "op",
         delete_value: str = "D",
     ) -> str:
+        safe = IcebergSparkCatalog._safe_ident
+        ident = safe(ident, "table")
+        source_view = safe(source_view, "view")
+        key = safe(key, "key column")
+        op_col = safe(op_col, "op column")
+        delete_value = IcebergSparkCatalog._safe_literal(delete_value, "delete value")
         return (
             f"MERGE INTO {ident} t\n"
             f"USING {source_view} s\n"
@@ -191,10 +224,18 @@ class IcebergSparkCatalog:
 
     @staticmethod
     def fence_property_sql(ident: str, source: str, batch_id: int) -> str:
+        ident = IcebergSparkCatalog._safe_ident(ident, "table")
+        source = IcebergSparkCatalog._safe_literal(source, "source")
         return (
             f"ALTER TABLE {ident} SET TBLPROPERTIES "
             f"('cdc.last-batch-id.{source}' = '{int(batch_id)}')"
         )
+
+    @staticmethod
+    def last_batch_id_sql(ident: str, source: str) -> str:
+        ident = IcebergSparkCatalog._safe_ident(ident, "table")
+        source = IcebergSparkCatalog._safe_literal(source, "source")
+        return f"SHOW TBLPROPERTIES {ident} ('cdc.last-batch-id.{source}')"
 
     @staticmethod
     def time_travel_sql(ident: str, snapshot_id: int) -> str:
@@ -238,7 +279,22 @@ class IcebergSparkCatalog:
     # -- execution (requires the real runtime) --------------------------
 
     def load_table(self, identifier: str) -> DataFrame:
-        return self.spark.table(f"{self.catalog_name}.{identifier}")
+        return self.spark.table(f"{self.catalog_name}.{self._safe_ident(identifier)}")
+
+    def last_batch_id(self, identifier: str, source: str = "default") -> "int | None":
+        """Pre-apply fence read: the ``cdc.last-batch-id.<source>`` table
+        property, or None when unset. SHOW TBLPROPERTIES with an unknown
+        key returns either zero rows or a 'does not have property' value
+        depending on the catalog — both map to None."""
+        ident = f"{self.catalog_name}.{self._safe_ident(identifier)}"
+        rows = self.spark.sql(self.last_batch_id_sql(ident, source)).collect()
+        if not rows:
+            return None
+        val = rows[0]["value"]
+        try:
+            return int(val)
+        except (TypeError, ValueError):
+            return None
 
     def merge_into(
         self,
@@ -248,8 +304,14 @@ class IcebergSparkCatalog:
         batch_id: "int | None" = None,
         source: str = "default",
         op_col: str = "op",
-    ) -> None:
-        ident = f"{self.catalog_name}.{identifier}"
+    ) -> bool:
+        """Apply an op-tagged upsert batch; returns False when the batch
+        id is fenced (already applied — duplicate delivery no-ops)."""
+        ident = f"{self.catalog_name}.{self._safe_ident(identifier)}"
+        if batch_id is not None:
+            last = self.last_batch_id(identifier, source)
+            if last is not None and batch_id <= last:
+                return False
         view = f"__cdc_updates_{abs(hash((identifier, batch_id))) % 10**9}"
         updates.createOrReplaceTempView(view)
         try:
@@ -258,3 +320,4 @@ class IcebergSparkCatalog:
                 self.spark.sql(self.fence_property_sql(ident, source, batch_id))
         finally:
             self.spark.catalog.dropTempView(view)
+        return True

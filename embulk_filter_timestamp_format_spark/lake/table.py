@@ -284,12 +284,22 @@ class IceTable:
 
         (key, seq) ties are broken AFTER the join-back so merge_into
         stays idempotent like the COW path: a delta row beats the base
-        row it superseded (side-priority max, reusing the (key, seq)
-        partitioning — no extra shuffle), and surviving exact ties (the
-        same delta delivered twice without a batch-id fence) collapse to
-        one row per key. Every aggregate here is a HashAggregate over
-        scalar columns — no SortAggregate in the read path."""
-        all_rows = deltas.withColumn("__prio", F.lit(1))
+        row it superseded, and a delete tombstone beats an upsert at the
+        same seq (priority classes base=0 < delta-U=1 < delta-D=2 —
+        side-priority max reusing the (key, seq) partitioning, no extra
+        shuffle), and surviving exact ties (the same delta delivered
+        twice without a batch-id fence) collapse to one row per key.
+        Producer contract: `seq` is a total order per key (binlog
+        position), so two DIFFERENT upsert payloads never legitimately
+        share (key, seq); if a producer violates that, the D-beats-U rule
+        still resolves mixed ties deterministically and only same-op
+        distinct-payload ties fall to an arbitrary pick. Every aggregate
+        here is a HashAggregate over scalar columns — no SortAggregate in
+        the read path."""
+        all_rows = deltas.withColumn(
+            "__prio",
+            F.when(F.col("__op") == "D", F.lit(2)).otherwise(F.lit(1)),
+        )
         if base is not None:
             all_rows = base.withColumn("__op", F.lit("U")).withColumn(
                 "__prio", F.lit(0)
@@ -494,6 +504,13 @@ class IceTable:
 
         Tables created with ``write_mode='mor'`` take the merge-on-read
         path instead: delta files + adaptive compaction.
+
+        Producer contract: the table's ``seq`` column must be a total
+        order per key (a binlog position / LSN). Redelivering the SAME
+        row is idempotent in both modes; two DIFFERENT payloads sharing
+        (key, seq) violate the contract — MOR reads then resolve a mixed
+        U/D tie deterministically (tombstone wins) and a same-op
+        distinct-payload tie arbitrarily.
         """
         if self.snapshot()["spec"].get("write_mode", "cow") == "mor":
             return self._merge_into_mor(updates, batch_id, source, op_col, lineage)

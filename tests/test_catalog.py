@@ -89,3 +89,21 @@ def test_iceberg_adapter_sql_mapping():
     ]
     with pytest.raises(ValueError):
         IcebergSparkCatalog.evolve_sql("t", [("drop", "c", "INT")])
+
+
+def test_iceberg_sql_builders_reject_unsafe_names():
+    """Identifiers and literals are validated before interpolation — a
+    quote-bearing name raises instead of smuggling SQL."""
+    for bad_ident in ("t; DROP TABLE x", "a.`b`", "d b", "a..b", ""):
+        with pytest.raises(ValueError, match="unsafe"):
+            IcebergSparkCatalog.merge_sql(bad_ident, "v", "k")
+        with pytest.raises(ValueError, match="unsafe"):
+            IcebergSparkCatalog.fence_property_sql(bad_ident, "s", 1)
+    with pytest.raises(ValueError, match="unsafe"):
+        IcebergSparkCatalog.merge_sql("t", "v", "k", delete_value="D' OR '1'='1")
+    with pytest.raises(ValueError, match="unsafe"):
+        IcebergSparkCatalog.last_batch_id_sql("t", "src' --")
+    # clean names pass through unchanged (the pinned text above)
+    assert "cdc.last-batch-id.binlog" in IcebergSparkCatalog.last_batch_id_sql(
+        "ice.cdc.docs", "binlog"
+    )

@@ -207,3 +207,20 @@ def test_mor_unfenced_redelivery_is_idempotent(spark, tmp_path):
     mor.merge_into(dels, batch_id=None)
     mor.merge_into(dels, batch_id=None)
     assert {r["doc_id"] for r in mor.read().collect()} == {"d2"}
+
+
+def test_mor_same_seq_mixed_op_tie_tombstone_wins(spark, tmp_path):
+    """Two DIFFERENT deltas sharing (key, seq) — a U payload and a D
+    tombstone, a producer-contract violation — must resolve
+    deterministically: the tombstone wins (priority base=0 < U=1 < D=2),
+    so the key is absent from the MOR read regardless of delivery order."""
+    for order, name in [((0, 1), "ud"), ((1, 0), "du")]:
+        mor = _table(spark, tmp_path, f"mor_mixed_{name}", write_mode="mor")
+        up = _upserts(spark, [("d1", [1], 7)])
+        dels = spark.createDataFrame(
+            [("d1", [1], 1, "s", None, None, None, 7)], TARGET_SCHEMA
+        ).withColumn("op", F.lit("D"))
+        batches = [up, dels]
+        mor.merge_into(batches[order[0]], batch_id=None)
+        mor.merge_into(batches[order[1]], batch_id=None)
+        assert mor.read().collect() == []
