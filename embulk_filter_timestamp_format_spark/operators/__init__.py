@@ -14,3 +14,4 @@ containment against their exact baselines in pytest instead.
 """
 
 from . import dedup, similarity, text  # noqa: F401
+from .cache import unpersist_intermediates  # noqa: F401

@@ -43,14 +43,13 @@ def _maybe_persist(df: DataFrame, enabled: bool) -> DataFrame:
     text → shingle/sketch extraction per branch (2-4× the extraction cost
     otherwise — the filter on shingle count ALSO re-inlines the whole
     extraction when predicate pushdown reaches the scan, so callers
-    filter AFTER the persist barrier). The cache lives until evicted
-    (LRU) or the session ends; pass persist_intermediate=False to keep
-    the operator side-effect-free."""
-    if enabled:
-        from pyspark import StorageLevel
+    filter AFTER the persist barrier). Each persist is tracked by
+    :mod:`.cache`; long-lived sessions reclaim the blocks eagerly with
+    ``unpersist_intermediates()`` after materializing the output. Pass
+    persist_intermediate=False to keep the operator side-effect-free."""
+    from .cache import register_persist
 
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
-    return df
+    return register_persist(df, enabled)
 
 
 def shingles(col, n: int = 3):
@@ -116,27 +115,18 @@ def _jaccard_verify(pairs: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verify of (id_a, id_b, sh_a, sh_b) pair rows.
 
     The intersection/union is computed in a PROJECTION above the join
-    and the threshold filter references the staged column; a
-    nondeterministic barrier column keeps PushPredicateThroughNonJoin
-    (which has no cost guard) from substituting the array expressions
-    back into the join condition, where they would evaluate INTERPRETED
-    per candidate pair instead of codegen'd per row."""
+    and the threshold filter references the staged column, held there by
+    the shared pushdown barrier (see operators/barrier.py) — otherwise
+    the array expressions land in the join condition and evaluate
+    INTERPRETED per candidate pair instead of codegen'd per row."""
+    from .barrier import scored_above
+
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / union.cast("double")
-    scored = pairs.select(
-        "id_a",
-        "id_b",
-        F.round(jac, 6).alias("jaccard"),
-        F.monotonically_increasing_id().alias("__nd"),  # pushdown barrier
+    return scored_above(
+        pairs, ["id_a", "id_b"], F.round(jac, 6), "jaccard", threshold
     )
-    # `__nd >= 0` is always true but keeps the barrier column referenced
-    # (else ColumnPruning drops it, the projection turns deterministic,
-    # and the predicate pushes into the join condition) and makes the
-    # filter condition nondeterministic, which is never pushed
-    return scored.filter(
-        (F.col("jaccard") >= threshold) & (F.col("__nd") >= 0)
-    ).select("id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------

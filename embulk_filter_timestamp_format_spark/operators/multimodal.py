@@ -153,6 +153,139 @@ def extract_features(
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real in-sandbox decode: PPM (P6) — binary netpbm needs no native libs
+# ---------------------------------------------------------------------------
+
+PPM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_px", T.IntegerType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("byte_min", T.IntegerType()),
+        T.StructField("byte_max", T.IntegerType()),
+    ]
+)
+
+
+def synth_ppm_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL image table: each document becomes a valid
+    binary PPM (P6) file — `P6\\n{w} {h}\\n255\\n` header + w*h*3 pixel
+    bytes (the document's utf-8 bytes tiled). Built entirely in Catalyst
+    (string repeat + binary substring — JVM-side, scales with the scan);
+    any netpbm tool can open the payloads. Dims derive from the byte
+    length, so a SQL oracle can recompute every pixel."""
+    c = F.col(text_col)
+    blen = F.octet_length(F.encode(c, "UTF-8"))
+    # stage len/dims in their own projection (CSE-safe: downstream exprs
+    # reference cheap attributes, not the repeated encode subtree)
+    staged = df.filter(blen > 0).select(
+        F.col(id_col).cast("long").alias("media_id"),
+        c.alias("__text"),
+        blen.alias("__len"),
+        (blen % 64 + 1).cast("int").alias("__w"),
+        (blen % 48 + 1).cast("int").alias("__h"),
+    ).withColumn("__need", (F.col("__w") * F.col("__h") * 3).cast("int"))
+    header = F.encode(
+        F.concat(
+            F.lit("P6\n"), F.col("__w").cast("string"), F.lit(" "),
+            F.col("__h").cast("string"), F.lit("\n255\n"),
+        ),
+        "UTF-8",
+    )
+    # tile the text's BYTES to w*h*3: repeating the string repeats its
+    # utf-8 byte sequence; substring on binary slices bytes
+    pixels = F.expr(
+        "substring(encode(repeat(__text, cast(ceil(__need / __len) as int)), "
+        "'UTF-8'), 1, __need)"
+    )
+    return staged.select(
+        F.col("media_id"),
+        F.concat(header, pixels).alias("payload"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.col("__w").alias("width"),
+            F.col("__h").alias("height"),
+            F.lit("image/x-portable-pixmap").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def decode_ppm(payload: bytes) -> "tuple[int, int, np.ndarray]":
+    """Pure-Python binary PPM (P6) decoder — a REAL decode that runs in
+    this sandbox (no native image libs needed): parses the netpbm header
+    per spec (magic, whitespace- and comment-tolerant tokens, maxval)
+    and returns (width, height, pixels[h, w, 3] uint8). Raises
+    ValueError on malformed or truncated files."""
+    if payload is None or len(payload) < 2 or payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        ch = payload[pos : pos + 1]
+        if ch == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+    width, height, maxval = (int(t) for t in tokens)
+    if not (0 < maxval < 65536):
+        raise ValueError(f"invalid PPM maxval {maxval}")
+    pos += 1  # single whitespace after maxval, then raster
+    bpc = 1 if maxval < 256 else 2
+    need = width * height * 3 * bpc
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError(f"truncated PPM raster: {len(raster)} < {need}")
+    dt = np.uint8 if bpc == 1 else np.dtype(">u2")
+    return width, height, np.frombuffer(raster, dtype=dt).reshape(height, width, 3)
+
+
+def ppm_features(df: DataFrame) -> DataFrame:
+    """Decode PPM payloads (REAL decode, see :func:`decode_ppm`) and emit
+    integer-exact pixel statistics — dims from the parsed header (not the
+    metadata struct, so the decode itself is what's verified) plus
+    byte sum/min/max over the raster. Integer outputs make the operator
+    oracle-checkable to the last bit: the DuckDB twin recomputes every
+    pixel from the source text via hex-extraction arithmetic
+    (__spark_entry__.oracle_sql()['multimodal_features'])."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, ns, sums, mins, maxs = [], [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_ppm(payload)
+                flat = px.reshape(-1).astype(np.int64)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                ns.append(flat.size)
+                sums.append(int(flat.sum()))
+                mins.append(int(flat.min()))
+                maxs.append(int(flat.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_px": pd.Series(ns, dtype="int32"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
+                    "byte_min": pd.Series(mins, dtype="int32"),
+                    "byte_max": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=PPM_FEATURE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
     """'Video' frame sampling stand-in: splits the payload into fixed-size
     frames and keeps every n-th — the partition/batch plumbing of a real

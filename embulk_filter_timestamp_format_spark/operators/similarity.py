@@ -41,6 +41,9 @@ def _norm(a):
 
 
 def cosine(a, b):
+    """Inline cosine — convenience for ad-hoc expressions. The operator
+    paths all stage norms in a projection instead (one _norm per row,
+    not per pair); keep this out of joins and per-pair hot paths."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -57,11 +60,20 @@ def cosine_topk(
     the big side; ranking is a per-query window over k·|queries| rows.
     Output: (query_id, neighbor_id, rank, cos_sim rounded to 6).
     """
-    q = df.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    # norms staged once per row / once per query BELOW the broadcast join
+    # — cosine() inline would recompute both HOF norms per (row, query)
+    # pair (|queries|× redundant work on the big side); dot/(nrm*qnrm) is
+    # op-for-op the SQL oracle's arithmetic
+    base = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )
-    pairs = df.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
-    sim = cosine(F.col("qv"), F.col(vec_col))
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    pairs = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    sim = _dot(F.col("qv"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm"))
     scored = pairs.select(
         "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 6).alias("cos_sim")
     )
@@ -111,22 +123,34 @@ def ivf_topk(
     base = df.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )
-    if persist_intermediate:
-        # the (id, vector, norm) table is the IVF build artifact — it is
-        # read by the centroid sample, the assignment join, the probe
-        # side, and the candidate re-rank; uncached, each branch re-scans
-        # the source and recomputes the norms
-        from pyspark import StorageLevel
+    # the (id, vector, norm) table is the IVF build artifact — it is
+    # read by the centroid sample, the assignment join, the probe
+    # side, and the candidate re-rank; uncached, each branch re-scans
+    # the source and recomputes the norms
+    from .cache import register_persist
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    cents_df = base.filter(F.pmod(h, F.lit(centroid_stride)) == 0)
-    if cents_df.isEmpty():
-        # small datasets / stride > N can leave the hash sample empty, and
-        # an empty centroid table would silently return zero neighbors
-        # (assignment and probes both inner-join it). Fall back to one
-        # deterministic centroid: the row minimizing the hash (a top-1
-        # TakeOrdered on the driver — bounded control-plane work).
-        cents_df = base.withColumn("_h", h).orderBy("_h", id_col).limit(1).drop("_h")
+    base = register_persist(base, persist_intermediate)
+    # centroid sample with the empty-sample fallback folded INTO the plan:
+    # small datasets / stride > N can leave the hash sample empty, and an
+    # empty centroid table would silently return zero neighbors
+    # (assignment and probes both inner-join it). A one-row aggregate over
+    # the persisted base (has-any-sampled flag + global min hash) is
+    # broadcast under every row; when the flag is 0 the row minimizing
+    # the hash becomes the single centroid. No extra driver action — the
+    # old `isEmpty()` probe ran a scan-until-first-row job per call even
+    # when centroids existed. (60-bit md5 min is unique up to hash
+    # collisions, ~N²/2^61 — negligible.)
+    sampled = F.pmod(F.col("_h"), F.lit(centroid_stride)) == 0
+    hbase = base.withColumn("_h", h)
+    agg = hbase.agg(
+        F.max(F.when(sampled, 1).otherwise(0)).alias("_has"),
+        F.min("_h").alias("_minh"),
+    )
+    cents_df = (
+        hbase.join(F.broadcast(agg))
+        .filter(sampled | ((F.col("_has") == 0) & (F.col("_h") == F.col("_minh"))))
+        .drop("_h", "_has", "_minh")
+    )
     cents = F.broadcast(
         cents_df.select(
             F.col(id_col).alias("cid"),
@@ -149,24 +173,34 @@ def ivf_topk(
         .groupBy(id_col)
         .agg(F.min("cid").alias("cid"))
     )
-    assigned = base.select(id_col, vec_col).join(best, id_col)
+    # re-rank keeps the staged row norm; the query side carries its own
+    # staged norm through the probe ranking — cosine() inline here would
+    # recompute both HOF norms per candidate pair (the ivf assignment
+    # above already demonstrates the staged shape)
+    assigned = base.select(id_col, vec_col, "_nrm").join(best, id_col)
 
     q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("_nrm").alias("_qnrm"),
     )
-    qsim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
-    qc = q.join(cents).select("query_id", "qv", "cid", qsim.alias("csim"))
+    qsim = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (F.col("_qnrm") * F.col("_cnrm")), 6
+    )
+    qc = q.join(cents).select("query_id", "qv", "_qnrm", "cid", qsim.alias("csim"))
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
         qc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "_qnrm", "cid")
     )
 
     cand = assigned.join(F.broadcast(probes), "cid").filter(
         F.col(id_col) != F.col("query_id")
     )
-    sim = F.round(cosine(F.col("qv"), F.col(vec_col)), 6)
+    sim = F.round(
+        _dot(F.col("qv"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm")), 6
+    )
     scored = cand.select(
         "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim")
     )
@@ -260,33 +294,18 @@ def _verify_pairs(cand: DataFrame, base: DataFrame, threshold: float) -> DataFra
     `sim >= t` predicate into the topmost BroadcastHashJoin's extra
     condition, where expressions evaluate INTERPRETED per pair
     (measured 3.8 s per 500k pairs for the HOF fold vs ~0.5 s
-    codegen'd in the projection). The filter cannot be pushed back
-    below the projection because the projection carries a
-    nondeterministic column (monotonically_increasing_id) —
-    PushPredicateThroughNonJoin requires all-deterministic fields and
-    has no cost guard, so the barrier must be structural, not
-    cost-based."""
+    codegen'd in the projection). The shared structural barrier
+    (operators/barrier.py, plan-shape pinned in tests) holds the filter
+    above the join."""
+    from .barrier import scored_above
+
     a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
     sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    scored = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            sim.alias("__sim"),
-            F.monotonically_increasing_id().alias("__nd"),  # pushdown barrier
-        )
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    return scored_above(joined, ["id_a", "id_b"], sim, "__sim", threshold).select(
+        "id_a", "id_b", F.round("__sim", 6).alias("cos_sim")
     )
-    # the barrier column MUST be referenced by the filter (always-true
-    # `__nd >= 0`): unreferenced it is dead code, ColumnPruning drops it,
-    # the projection becomes all-deterministic, and the predicate pushes
-    # into the join condition after all. A nondeterministic filter
-    # condition is never pushed.
-    return scored.filter(
-        (F.col("__sim") >= threshold) & (F.col("__nd") >= 0)
-    ).select("id_a", "id_b", F.round("__sim", 6).alias("cos_sim"))
 
 
 def plane_sign(seed: int, plane: int, i: int) -> float:
@@ -329,11 +348,20 @@ def lsh_ann_topk(
     for p, plane in enumerate(planes):
         bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    base = df.select(F.col(id_col), F.col(vec_col), sig.cast("long").alias("bucket"))
+    # row norms staged with the signature — the exact re-rank below costs
+    # one dot + one divide per candidate instead of recomputing both HOF
+    # norms per pair
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_nrm"),
+        sig.cast("long").alias("bucket"),
+    )
 
     q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        F.col("_nrm").alias("_qnrm"),
         F.col("bucket").alias("qbucket"),
     )
     masks = [0]
@@ -346,10 +374,10 @@ def lsh_ann_topk(
             for p2 in range(p1 + 1, num_planes)
         ]
     probes = F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks])
-    qx = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    qx = q.select("query_id", "qv", "_qnrm", F.explode(probes).alias("bucket"))
 
     cand = base.join(F.broadcast(qx), "bucket").filter(F.col(id_col) != F.col("query_id"))
-    sim = cosine(F.col("qv"), F.col(vec_col))
+    sim = _dot(F.col("qv"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm"))
     scored = cand.select(
         "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 6).alias("cos_sim")
     ).dropDuplicates(["query_id", "neighbor_id"])

@@ -303,3 +303,81 @@ def test_multimodal_real_decode_with_pil(spark):
     assert feats[0] == 128.0  # mean
     assert feats[1] == 0.0    # std
     assert feats[5] == 4.0 and feats[6] == 4.0  # decoded dims
+
+
+def test_pushdown_barrier_plan_shape(spark, docs, emb):
+    """The structural pushdown barrier (operators/barrier.py) depends on
+    two optimizer internals (nondeterministic projections block
+    PushPredicateThroughNonJoin; ColumnPruning keeps referenced columns).
+    Pin the resulting plan shape: no Join in the optimized plan of either
+    verify path may carry an HOF/array-set expression in its condition —
+    a Spark upgrade that re-enables the pushdown fails here instead of
+    silently running the similarity interpreted per candidate pair."""
+    from embulk_filter_timestamp_format_spark.operators.barrier import (
+        assert_no_expensive_join_condition,
+    )
+
+    assert_no_expensive_join_condition(
+        S.embedding_neardup_pairs(emb, 0.4, method="lsh")
+    )
+    assert_no_expensive_join_condition(
+        D.ngram_jaccard_pairs(docs.limit(200), threshold=0.8)
+    )
+
+
+def test_unpersist_intermediates_releases_registered_caches(spark, docs):
+    from embulk_filter_timestamp_format_spark.operators import cache as C
+
+    C.unpersist_intermediates()  # drain anything earlier tests left
+    D.minhash_lsh_pairs(docs.limit(100)).count()
+    assert len(C._REGISTRY) >= 1
+    released = C.unpersist_intermediates()
+    assert released >= 1 and not C._REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6) — the real in-sandbox decode path
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_decoder_parses_spec_features():
+    """decode_ppm is a real netpbm parser: comments, multi-whitespace
+    headers, and 16-bit maxval all parse; malformed files raise."""
+    import numpy as np
+
+    px = bytes(range(12))  # 2x2 RGB
+    w, h, arr = MM.decode_ppm(b"P6\n# a comment\n2 2\n255\n" + px)
+    assert (w, h) == (2, 2) and arr.shape == (2, 2, 3)
+    assert arr.reshape(-1).tolist() == list(range(12))
+    # multi-space / newline-free header
+    w, h, arr = MM.decode_ppm(b"P6  2\t2  255 " + px)
+    assert (w, h) == (2, 2)
+    # 16-bit maxval: big-endian 2-byte samples
+    px16 = b"".join(v.to_bytes(2, "big") for v in [0, 300, 65535] * 4)
+    w, h, arr16 = MM.decode_ppm(b"P6\n2 2\n65535\n" + px16)
+    assert arr16.dtype == np.dtype(">u2") and int(arr16.max()) == 65535
+    import pytest as _pt
+
+    for bad in (b"P5\n2 2\n255\n" + px, b"P6\n2 2\n255\n" + px[:5],
+                b"P6\n2 2\n0\n" + px, b"P6\n2 2"):
+        with _pt.raises(ValueError):
+            MM.decode_ppm(bad)
+
+
+def test_synth_ppm_payloads_are_valid_and_features_match_numpy(spark, docs):
+    """The Catalyst-built payloads are valid P6 files; decoding them and
+    aggregating matches an independent numpy tiling computation."""
+    import numpy as np
+
+    media = MM.synth_ppm_media(docs.limit(50))
+    rows = media.collect()
+    assert rows and all(r["payload"][:2] == b"P6" for r in rows)
+    feats = {r["media_id"]: r for r in MM.ppm_features(media).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(50).collect()}
+    for mid, f in feats.items():
+        tb = texts[mid].encode()
+        w, h = len(tb) % 64 + 1, len(tb) % 48 + 1
+        tiled = np.resize(np.frombuffer(tb, dtype=np.uint8), w * h * 3)
+        assert (f["width"], f["height"], f["n_px"]) == (w, h, w * h * 3)
+        assert f["byte_sum"] == int(tiled.sum())
+        assert (f["byte_min"], f["byte_max"]) == (int(tiled.min()), int(tiled.max()))
