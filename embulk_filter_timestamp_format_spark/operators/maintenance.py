@@ -1,0 +1,68 @@
+"""Lake-integrated corpus maintenance: near-dup sweep → delete batch.
+
+The one training-data shape that ties the operator layer to the lake
+layer: read a committed table snapshot, find near-duplicate documents
+(MinHash-LSH by default — the scale path, one band-bucket shuffle), pick
+canonical survivors, and commit the drops as a single op='D' batch
+through the table's own ``merge_into`` — so the pass is batch-id
+fenced/idempotent like any CDC batch, shows up in the changelog as
+exactly the dup deletes, and costs one bucket-pruned write.
+
+Keep policy (``keep='min'``): every near-dup pair (id_a < id_b) keeps
+the smaller id; any document that is the larger side of ANY pair is
+dropped. Deterministic, one distinct over the slim pair ids, no
+connected-components iteration — the standard keep-first corpus-dedup
+rule. (A doc can be dropped while its kept partner is itself dropped by
+a another pair — the policy guarantees a canonical-free corpus, not
+per-cluster representatives; for per-cluster canonicals run the pass to
+a fixpoint, each round is one cheap changelog-sized commit.)
+
+At 100 TB: the sweep reads one snapshot (immutable files, column-pruned
+to id+text), the LSH shuffle moves slim (id, band, bucket) rows, the
+delete batch joins the drop ids back to payloads only for the touched
+buckets, and the commit rewrites/appends only those buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import minhash_lsh_pairs
+
+
+def dedup_pass(
+    table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    batch_id: "int | None" = None,
+    source: str = "maintenance",
+    pairs_fn=None,
+    **lsh_kwargs,
+) -> dict:
+    """One corpus-dedup maintenance pass over ``table`` (any
+    TableProtocol). Returns {'from_version', 'committed_version'};
+    committed_version is None when nothing was dropped (empty delete
+    batch commits nothing — snapshot history stays clean).
+
+    ``pairs_fn(df) -> DataFrame[id_a, id_b, ...]`` overrides the
+    default MinHash-LSH sweep (e.g. exact dedup, SimHash, or an
+    embedding near-dup pass)."""
+    from_version = table.current_version()
+    df = table.read(from_version)
+    if pairs_fn is not None:
+        pairs = pairs_fn(df)
+    else:
+        pairs = minhash_lsh_pairs(
+            df, id_col=id_col, text_col=text_col, threshold=threshold, **lsh_kwargs
+        )
+    # keep='min': drop ids = distinct larger side of any pair (slim
+    # two-column shuffle; the wide payload joins back only below)
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # the delete batch carries the dropped rows' own payload/seq: in COW
+    # the key-match deletes; in MOR the tombstone ties the base row's
+    # (key, seq) and wins by side-priority (delta-D = highest class)
+    deletes = df.join(drops, id_col).withColumn("op", F.lit("D"))
+    committed = table.merge_into(deletes, batch_id=batch_id, source=source)
+    return {"from_version": from_version, "committed_version": committed}
