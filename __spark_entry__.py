@@ -65,9 +65,10 @@ def q_tsfmt_parse_roundtrip(spark, sf_dir):
     fmt = TimestampFormatterPlan("%Y-%m-%d %H:%M:%S.%N", "UTC")
     parser = TimestampParserPlan(["%Y-%m-%d %H:%M:%S.%N"], "UTC")
     ev = _events(spark, sf_dir)
-    staged = ev.select(
+    rendered = ev.select(
         F.col("event_id"), fmt.format_expr(_ts_nanos(F.col("ts"))).alias("__s")
-    ).select(F.col("event_id"), parser.parse_expr(F.col("__s")).alias("__n"))
+    )
+    staged = parser.parse_df(rendered, "__s", "__n")
     return staged.select(
         F.col("event_id"), U.col_nanos_to_timestamp(F.col("__n")).alias("parsed_ts")
     )
@@ -318,11 +319,56 @@ def q_embedding_neardup(spark, sf_dir):
     return S.embedding_neardup_pairs(emb, threshold=0.4, method="exact")
 
 
+def q_corpus_dedup_pass(spark, sf_dir):
+    """Lake-integrated corpus dedup maintenance (operators/maintenance.py):
+    documents seeded into an icetable → MinHash-LSH sweep → keep-min
+    policy → op='D' delete batch through merge_into → surviving state.
+    The table build + pass commit run eagerly at construction (lake
+    writes are actions); the returned DataFrame re-reads the committed
+    snapshot. Oracle: documents minus the larger side of every
+    verified near-dup pair (the same SQL pipeline as minhash_lsh)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from embulk_filter_timestamp_format_spark.lake import IceTable
+    from embulk_filter_timestamp_format_spark.operators.maintenance import dedup_pass
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("event_seq", T.LongType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="efts_dedup_pass_")
+    table = IceTable.create(spark, root, schema, key="doc_id", num_buckets=8)
+    ups = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("long"),
+            "text",
+            F.col("doc_id").cast("long").alias("event_seq"),
+        )
+        .withColumn("op", F.lit("U"))
+    )
+    table.merge_into(ups, batch_id=0, source="seed")
+    dedup_pass(table, threshold=0.8, batch_id=1)
+    return table.read().select("doc_id", "text")
+
+
 def q_multimodal_features(spark, sf_dir):
+    """documents → REAL binary PPM (P6) payloads (Catalyst-built: header
+    + utf-8 bytes tiled to w*h*3) → pure-Python netpbm decode over Arrow
+    batches → integer-exact pixel stats. The decode executes for real in
+    any environment (no native libs needed) and is oracle-checked to the
+    bit; reference parity: the binary-passthrough discipline of
+    ColumnVisitorImpl.java (untargeted columns survive byte-identical)
+    extended to a decodable media payload."""
     from embulk_filter_timestamp_format_spark.operators import multimodal as MM
 
-    media = MM.synth_media(_docs(spark, sf_dir))
-    return MM.extract_features(media).drop("features")
+    media = MM.synth_ppm_media(_docs(spark, sf_dir))
+    return MM.ppm_features(media)
 
 
 # ---------------------------------------------------------------------------
@@ -372,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "corpus_dedup_pass": q_corpus_dedup_pass,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -491,6 +538,34 @@ def _lang_case() -> str:
     best = f"greatest({','.join(exprs.values())})"
     whens = " ".join(f"WHEN {exprs[lang]} = __best THEN '{lang}'" for lang in langs)
     return exprs, best, whens
+
+
+# MinHash-LSH pair pipeline in DuckDB (the twin of
+# operators.dedup.minhash_lsh_pairs) — used by the minhash_lsh oracle
+# and, composed, by the corpus_dedup_pass oracle
+_MINHASH_PAIRS_SQL = f"""
+            WITH base AS (SELECT doc_id, list_transform({_WORDS}, x -> lower(x)) AS w
+                          FROM documents),
+            shf AS (SELECT doc_id, s FROM
+                      (SELECT doc_id, {_SHINGLE_KEYS} AS s FROM base)
+                    WHERE len(s) > 0),
+            sig AS (SELECT doc_id,
+                     list_transform({_MINHASH_AB}::STRUCT(a BIGINT, b BIGINT)[],
+                       p -> list_min(list_transform(s,
+                            x -> (p.a * (x & 2147483647) + p.b) % 2305843009213693951))) AS g
+                    FROM shf),
+            bands AS (SELECT doc_id, b,
+                       array_to_string(list_slice(g, b*4 + 1, b*4 + 4), ',') AS bucket
+                      FROM sig, range(0, 8) t(b)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                     FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+                     WHERE a.doc_id < c.doc_id)
+            SELECT id_a, id_b,
+                   round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                         / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+            FROM cand JOIN shf sa ON sa.doc_id = id_a JOIN shf sb ON sb.doc_id = id_b
+            WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+                  / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -681,29 +756,14 @@ def oracle_sql() -> dict[str, str]:
         # WHOLE pipeline — signature, banding, candidate join,
         # exact-Jaccard verify — is reproduced in SQL (same (a,b)
         # constants, same integer arithmetic).
-        "minhash_lsh": f"""
-            WITH base AS (SELECT doc_id, list_transform({_WORDS}, x -> lower(x)) AS w
-                          FROM documents),
-            shf AS (SELECT doc_id, s FROM
-                      (SELECT doc_id, {_SHINGLE_KEYS} AS s FROM base)
-                    WHERE len(s) > 0),
-            sig AS (SELECT doc_id,
-                     list_transform({_MINHASH_AB}::STRUCT(a BIGINT, b BIGINT)[],
-                       p -> list_min(list_transform(s,
-                            x -> (p.a * (x & 2147483647) + p.b) % 2305843009213693951))) AS g
-                    FROM shf),
-            bands AS (SELECT doc_id, b,
-                       array_to_string(list_slice(g, b*4 + 1, b*4 + 4), ',') AS bucket
-                      FROM sig, range(0, 8) t(b)),
-            cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-                     FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
-                     WHERE a.doc_id < c.doc_id)
-            SELECT id_a, id_b,
-                   round(len(list_intersect(sa.s, sb.s))::DOUBLE
-                         / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
-            FROM cand JOIN shf sa ON sa.doc_id = id_a JOIN shf sb ON sb.doc_id = id_b
-            WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
-                  / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8""",
+        "minhash_lsh": _MINHASH_PAIRS_SQL,
+        # lake-integrated maintenance: survivors = documents minus the
+        # larger side of every verified near-dup pair (keep-min policy
+        # over the SAME pipeline as minhash_lsh)
+        "corpus_dedup_pass": f"""
+            WITH pairs AS ({_MINHASH_PAIRS_SQL})
+            SELECT doc_id, text FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM pairs)""",
         # simhash candidate generation covers ALL pairs at distance ≤ d
         # (multi-index pigeonhole), so the result equals the brute-force
         # all-pairs Hamming filter — which IS the oracle below.
@@ -741,7 +801,36 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                          ORDER BY {_cos_sql('qv', 'nv')} DESC, neighbor_id ASC) AS rank
               FROM cand) WHERE rank <= 5""",
-        # ann_lsh_topk / multimodal_features: candidate-generation &
-        # binary ops — verified in pytest by containment/recall vs exact
-        # baselines (rows-only driver check).
+        # multimodal_features: the Spark side builds REAL binary PPM (P6)
+        # payloads (header + tiled utf-8 bytes) and decodes them with a
+        # pure-Python netpbm parser; the oracle recomputes every pixel
+        # from the source text — hex-extracts byte j, counts its tiling
+        # multiplicity cnt_j = ((n_px-1-j) // len) + 1, and aggregates
+        # integer-exact sum/min/max. Dims in the output come from the
+        # PARSED header, so a decode bug breaks the hash.
+        "multimodal_features": """
+            WITH d AS (
+              SELECT doc_id AS media_id,
+                     octet_length(encode(text)) AS len,
+                     hex(encode(text)) AS hx
+              FROM documents WHERE octet_length(encode(text)) > 0
+            ), dims AS (
+              SELECT media_id, len, hx,
+                     (len % 64 + 1)::INT AS width, (len % 48 + 1)::INT AS height,
+                     ((len % 64 + 1) * (len % 48 + 1) * 3)::INT AS n_px
+              FROM d
+            ), b AS (
+              SELECT media_id, width, height, n_px,
+                     ('0x' || substr(hx, 2*j + 1, 2))::BIGINT AS byte,
+                     ((n_px - 1 - j) // len) + 1 AS cnt
+              FROM dims, UNNEST(range(len)) AS t(j)
+              WHERE j < n_px
+            )
+            SELECT media_id, width, height, n_px,
+                   SUM(byte * cnt)::BIGINT AS byte_sum,
+                   MIN(byte)::INT AS byte_min, MAX(byte)::INT AS byte_max
+            FROM b GROUP BY media_id, width, height, n_px""",
+        # ann_lsh_topk: candidate-generation — verified in pytest by
+        # containment/recall vs the exact baseline (rows-only driver
+        # check).
     }

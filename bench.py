@@ -16,12 +16,31 @@ Queries are forced with the noop sink (full computation, no collect).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
 import sys
 import tempfile
 import time
+
+
+def _proc_stat_sample() -> "tuple[int, int]":
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
+    line — sampled around each timed run so the committed artifact can
+    separate co-tenant CPU steal from real regressions (this host's
+    single-run spread is up to 3x)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:
+        return 0, 0
+
+
+def _steal_pct(before: "tuple[int, int]", after: "tuple[int, int]") -> float:
+    dt = after[0] - before[0]
+    return round(100.0 * (after[1] - before[1]) / dt, 2) if dt > 0 else 0.0
 
 
 def build_spark(cpus: str):
@@ -52,6 +71,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     separately as `queries_cold`); the second run measures the sustained
     execution the plan actually delivers."""
     import __spark_entry__ as E
+    from embulk_filter_timestamp_format_spark.operators import (
+        unpersist_intermediates,
+    )
 
     warm, cold = {}, {}
     for name, fn in E.queries().items():
@@ -66,13 +88,23 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         except Exception as ex:  # record, don't die
             warm[name] = cold[name] = -1.0
             print(f"query {name} failed: {ex}", file=sys.stderr)
+        finally:
+            # release operator intermediates so one query's caches don't
+            # evict the next query's (the registry is the service-usage
+            # discipline documented in operators/cache.py)
+            unpersist_intermediates()
     return warm, cold
 
 
-def bench_cdc(spark, num_events: int, num_chunks: int = 4) -> dict:
+def bench_cdc(spark, num_events: int, num_chunks: int = 4, runs: int = 3) -> dict:
     """CDC replay at both table modes over the same binlog: copy-on-write
     (rewrite touched buckets) and merge-on-read (delta appends + adaptive
-    compaction — write cost ∝ changes, the 10^10-event mode)."""
+    compaction — write cost ∝ changes, the 10^10-event mode).
+
+    Each mode replays `runs` times against the same generated binlog
+    (fresh table per run); the headline is the BEST run, with every run's
+    wall time and its /proc/stat steal share recorded alongside so a
+    slower number can be attributed to co-tenant load instead of code."""
     from embulk_filter_timestamp_format_spark.lake import IceTable
     from embulk_filter_timestamp_format_spark.sources.binlog import generate_binlog
     from embulk_filter_timestamp_format_spark.streaming.cdc import (
@@ -88,22 +120,35 @@ def bench_cdc(spark, num_events: int, num_chunks: int = 4) -> dict:
             num_chunks=num_chunks,
         )
 
-        def replay(mode: str) -> dict:
+        def replay_once(mode: str, run_i: int) -> dict:
+            path = os.path.join(workdir, f"table_{mode}_{run_i}")
             table = IceTable.create(
-                spark, os.path.join(workdir, f"table_{mode}"), TARGET_SCHEMA,
+                spark, path, TARGET_SCHEMA,
                 key="doc_id", num_buckets=32, write_mode=mode,
             )
             pipe = CdcPipeline(spark, table)
+            s0 = _proc_stat_sample()
             t0 = time.time()
             pipe.replay_chunks(chunks)
             dt = time.time() - t0
+            steal = _steal_pct(s0, _proc_stat_sample())
             rows = table.read().count()
+            snaps = table.current_version()
+            shutil.rmtree(path, ignore_errors=True)
+            return {"replay_sec": round(dt, 3), "steal_pct": steal,
+                    "final_rows": rows, "snapshots": snaps}
+
+        def replay(mode: str) -> dict:
+            results = [replay_once(mode, i) for i in range(max(runs, 1))]
+            best = min(results, key=lambda r: r["replay_sec"])
             return {
                 "events": num_events,
-                "replay_sec": round(dt, 3),
-                "events_per_sec": round(num_events / dt, 1),
-                "final_rows": rows,
-                "snapshots": table.current_version(),
+                "replay_sec": best["replay_sec"],
+                "events_per_sec": round(num_events / best["replay_sec"], 1),
+                "final_rows": best["final_rows"],
+                "snapshots": best["snapshots"],
+                "runs": [r["replay_sec"] for r in results],
+                "steal_pct": [r["steal_pct"] for r in results],
             }
 
         out = replay("cow")
@@ -130,27 +175,39 @@ def bench_parse_format(spark, rows: int = 2_000_000) -> dict:
     )
     parser = TimestampParserPlan(["%Y-%m-%d %H:%M:%S.%N"], "UTC")
     fmt = TimestampFormatterPlan("%Y-%m-%d", "UTC")
-    # staged: nanos in an intermediate projection (same rule as apply_task)
-    out = df.select(parser.parse_expr(F.col("s")).alias("__n")).select(
-        fmt.format_expr(F.col("__n")).alias("d")
-    )
-    force(out)  # warm (codegen compile)
-    t0 = time.time()
-    force(out)
-    dt = time.time() - t0
-    # cached-input twin: parse+format only (the reference parses a
-    # pre-generated file, so the generate cost above is NOT in its
-    # number; this row is the apples-to-apples per-core comparison)
-    cached = df.persist()
-    cached.count()
-    outc = cached.select(parser.parse_expr(F.col("s")).alias("__n")).select(
-        fmt.format_expr(F.col("__n")).alias("d")
-    )
-    force(outc)
-    t0 = time.time()
-    force(outc)
-    dtc = time.time() - t0
-    cached.unpersist()
+    # the engine's documented hot-loop config (the CDC batch body sets
+    # the same): whole-stage codegen OFF so parse_df's staged fast path
+    # engages — per-operator codegen compiles each stage separately;
+    # fused WSCG lands the 4-stage pipeline beyond HotSpot's JIT size
+    # threshold (measured 2.3× slower, BENCH/NOTES.md round 4)
+    prev_wscg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        # staged via parse_df: aligned rows take the native civil kernel
+        # (no regex, no civil-arithmetic tree); nanos lands in an
+        # intermediate projection (same rule as apply_task)
+        out = parser.parse_df(df, "s", "__n").select(
+            fmt.format_expr(F.col("__n")).alias("d")
+        )
+        force(out)  # warm (codegen compile)
+        t0 = time.time()
+        force(out)
+        dt = time.time() - t0
+        # cached-input twin: parse+format only (the reference parses a
+        # pre-generated file, so the generate cost above is NOT in its
+        # number; this row is the apples-to-apples per-core comparison)
+        cached = df.persist()
+        cached.count()
+        outc = parser.parse_df(cached, "s", "__n").select(
+            fmt.format_expr(F.col("__n")).alias("d")
+        )
+        force(outc)
+        t0 = time.time()
+        force(outc)
+        dtc = time.time() - t0
+        cached.unpersist()
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_wscg)
     return {
         "rows": rows,
         "sec": round(dt, 3),
@@ -161,17 +218,30 @@ def bench_parse_format(spark, rows: int = 2_000_000) -> dict:
 
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cdc-only", action="store_true",
+                    help="skip the 23 contract queries and the parse bench; "
+                         "re-measure just the headline CDC replay")
+    ap.add_argument("--runs", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CDC_RUNS", "3")),
+                    help="replays per table mode; headline = best run")
+    ap.add_argument("--events", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "8000000")))
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    num_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "8000000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        qtimes, qcold = bench_queries(spark, sf_dir)
-        pf = bench_parse_format(spark)
-        cdc = bench_cdc(spark, num_events)
+        if args.cdc_only:
+            qtimes, qcold, pf = {}, {}, None
+        else:
+            qtimes, qcold = bench_queries(spark, sf_dir)
+            pf = bench_parse_format(spark)
+        cdc = bench_cdc(spark, args.events, runs=args.runs)
     finally:
         spark.stop()
 
