@@ -381,6 +381,31 @@ def _fast_native_civil_sec(col: Column, L: FastLayout) -> Column:
     return F.unix_seconds(F.try_to_timestamp(prefix, F.lit(L.pattern)))
 
 
+def _fast_native_full_sec(col: Column, L: FastLayout) -> Column:
+    """Civil wall-clock seconds for ZONE-LESS fast layouts via ONE
+    native parse of the ENTIRE string — no substring, no length bounds,
+    no fraction digit-run checks: the java.time pattern is the layout's
+    strict prefix pattern plus ``S × frac_max``, and Spark's fraction
+    parser has exactly the fast-path acceptance semantics (1..frac_max
+    digits accepted variably; empty fraction, overlong runs, non-digits,
+    embedded/trailing whitespace, and any trailing junk all fail the
+    parse → NULL → slow path). The parsed micros are DISCARDED below the
+    second boundary — the caller re-reads the fraction digits from the
+    source text (rpad-9 + try_cast), keeping the engine's nanosecond
+    precision; ``unix_seconds`` floors to the civil second, which is the
+    correct pairing for the always-positive wall-clock fraction on both
+    sides of the epoch. Year-0 throw / int64-nanos overflow are
+    pre-checked the same way as :func:`_fast_native_civil_sec`; the
+    same UTC-session gate applies."""
+
+    pat = L.pattern + ("S" * L.frac_max if L.frac_pos else "")
+    whole = col
+    if FT.Y4 in L.fields:
+        ypos, _w = L.fields[FT.Y4]
+        whole = F.when(F.substring(col, ypos, 4).between("1678", "2261"), col)
+    return F.unix_seconds(F.try_to_timestamp(whole, F.lit(pat)))
+
+
 def _utc_session_active() -> bool:
     """True when the active session's timezone is UTC — the native civil
     kernel parses in the session zone, so the staged fast path is only
@@ -604,9 +629,33 @@ def format_parse_expr(
         # --- fast mode: native civil kernel -------------------------
         # fixed windows canonicalize into ONE try_to_timestamp call; its
         # NULL covers date/time validity (plus the leap-60 rollover the
-        # regex engine allows — those rows fall through to it). Zone
-        # handling is the same two branches as the shared tail below,
-        # over the same helpers.
+        # regex engine allows — those rows fall through to it).
+        if not fast.zone:
+            # zone-less: the native call consumes the ENTIRE string
+            # (pattern + S×frac_max), so the residual cond/frac checks
+            # vanish — validity is exactly ts-non-NULL, and every
+            # expression below is NULL-propagating (try_* arithmetic),
+            # so no `matched` CaseWhen is needed at all. The fraction is
+            # re-read from the text for nano precision (the native parse
+            # validated its digits; micros are floored away by
+            # unix_seconds). Measured 556k rows/s/core on the flagship
+            # shape vs 407k for the prefix+residual shape
+            # (BENCH/BASELINE.md round 4).
+            utc_sec = _apply_from_tz_col(_fast_native_full_sec(col, fast), from_tz)
+            if fast.frac_pos:
+                f9 = F.rpad(F.substring(col, fast.frac_pos, 9), 9, "0").try_cast(
+                    "long"
+                )
+                if pf.dialect == "java":
+                    # Joda keeps milliseconds only (same rule as the
+                    # shared frac_nanos above)
+                    f9 = f9 - F.pmod(f9, F.lit(1_000_000))
+            else:
+                f9 = F.lit(0).cast("long")
+            return F.try_add(F.try_multiply(utc_sec, F.lit(1_000_000_000)), f9)
+        # trailing-zone layouts: strict prefix parse + split-out
+        # frac/zone windows (the shared tail below, over the same
+        # helpers).
         naive_sec = _fast_native_civil_sec(col, fast)
         zone_fr = first(FT.TZOFF) or first(FT.TZNAME)
         if zone_fr is not None:
