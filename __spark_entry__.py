@@ -18,6 +18,7 @@ from embulk_filter_timestamp_format_spark.functions.parse import TimestampParser
 from embulk_filter_timestamp_format_spark.functions import units as U
 from embulk_filter_timestamp_format_spark.functions.units import TimestampUnit
 from embulk_filter_timestamp_format_spark.operators import dedup as D
+from embulk_filter_timestamp_format_spark.operators import sampling as SAMP
 from embulk_filter_timestamp_format_spark.operators import similarity as S
 from embulk_filter_timestamp_format_spark.operators import text as TX
 from embulk_filter_timestamp_format_spark.operators.text import LANG_MARKERS, STOPWORDS, BPE_TOKEN_RE
@@ -371,6 +372,42 @@ def q_multimodal_features(spark, sf_dir):
     return MM.ppm_features(media)
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    the label is a pure function of (doc_id, salt) via the md5-prefix
+    bucket, so dataset versions never migrate documents across splits.
+    Stateless narrow projection — no shuffle at any scale."""
+    out = SAMP.hash_split(
+        _docs(spark, sf_dir), "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return out.select("doc_id", "split_bucket", "split")
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (language rebalancing):
+    keep 50% of en, 25% of fr, drop the rest — nested samples, stable
+    under re-runs and re-sharding."""
+    out = SAMP.stratified_sample(
+        _docs(spark, sf_dir), "doc_id", {"en": 0.5, "fr": 0.25},
+        strata_col="lang",
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Contiguous token-stream packing into 2048-token bins within 16
+    hash groups (BPE-ish token counts from operators/text.py). One
+    shuffle on the group key; the per-group window sort is the only
+    ordered operation, bounded by num_groups."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", TX.bpe_token_count(F.col("text")).alias("n_tok")
+    )
+    return SAMP.pack_sequences(
+        docs, "doc_id", "n_tok", budget=2048, num_groups=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -420,6 +457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "corpus_dedup_pass": q_corpus_dedup_pass,
         "multimodal_features": q_multimodal_features,
+        "corpus_split": q_corpus_split,
+        "corpus_sample": q_corpus_sample,
+        "sequence_pack": q_sequence_pack,
     }
 
 
@@ -830,6 +870,37 @@ def oracle_sql() -> dict[str, str]:
                    SUM(byte * cnt)::BIGINT AS byte_sum,
                    MIN(byte)::INT AS byte_min, MAX(byte)::INT AS byte_max
             FROM b GROUP BY media_id, width, height, n_px""",
+        # deterministic split/sample/pack (operators/sampling.py): the
+        # md5-prefix bucket is bit-identical in both engines, so labels,
+        # survivors and the packing layout reproduce exactly.
+        "corpus_split": """
+            SELECT doc_id, split_bucket,
+                   CASE WHEN split_bucket < 9000 THEN 'train'
+                        WHEN split_bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         (('0x' || substring(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000) AS split_bucket
+                  FROM documents)""",
+        "corpus_sample": """
+            SELECT doc_id, lang
+            FROM (SELECT doc_id, lang,
+                         (('0x' || substring(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000) AS b
+                  FROM documents)
+            WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 ELSE 0 END""",
+        "sequence_pack": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_tok,
+                     (('0x' || substring(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT % 16) AS grp
+              FROM documents),
+            s AS (
+              SELECT doc_id, grp, n_tok,
+                     coalesce(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+              FROM t)
+            SELECT doc_id, grp, strt // 2048 AS bin, strt % 2048 AS bin_offset,
+                   ((strt + greatest(n_tok, 1) - 1) // 2048) - (strt // 2048) + 1 AS n_bins
+            FROM s""",
         # ann_lsh_topk: candidate-generation — verified in pytest by
         # containment/recall vs the exact baseline (rows-only driver
         # check).
