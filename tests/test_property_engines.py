@@ -221,3 +221,61 @@ def test_staged_cascade_property(spark, dummy, fmts, epochs, data):
     nanos, valid = pplan.parse_np(pd.Series(allstr))
     npy = [int(v) if ok else None for v, ok in zip(nanos, valid)]
     assert staged == inline == npy, f"cascade divergence for {fmts!r}"
+
+
+# the staged FAST path (fast=True: native try_to_timestamp kernels —
+# full-string for zone-less fixed-width layouts, prefix+residual
+# otherwise, regex fall-through for the rest) must agree with the
+# inline regex engine and numpy over the same fuzzed space as the
+# staged-cascade property above. fast=True is forced because the
+# default only engages the fast staging under WSCG-off sessions.
+@pytest.mark.parametrize("dummy", [0])
+@given(
+    fmts=st.lists(
+        st.builds(
+            lambda parts, seps: "".join(p + s for p, s in zip(parts, seps + [""])),
+            st.lists(st.sampled_from(PARSE_POOL), min_size=2, max_size=4),
+            st.lists(st.sampled_from(SEPS), min_size=1, max_size=3),
+        ),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+    epochs=st.lists(
+        st.integers(min_value=NANO_LO, max_value=NANO_HI), min_size=3, max_size=5
+    ),
+    data=st.data(),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_staged_fast_path_property(spark, dummy, fmts, epochs, data):
+    import pandas as pd
+
+    try:
+        fplans = [TimestampFormatterPlan(f, "UTC") for f in fmts]
+        pplan = TimestampParserPlan(fmts, "UTC")
+    except ValueError:
+        return
+    strings = []
+    for e in epochs:
+        which = data.draw(st.integers(min_value=0, max_value=len(fplans) - 1))
+        strings.append(fplans[which].format_np(np.array([e], dtype=np.int64))[0])
+    mutated = []
+    for s in strings:
+        chars = list(s)
+        idx = data.draw(st.integers(min_value=0, max_value=max(len(chars) - 1, 0)))
+        chars[idx] = data.draw(st.sampled_from(MUTS))
+        mutated.append("".join(chars))
+    allstr = strings + mutated + ["", "garbage", " "]
+    df = spark.createDataFrame([(s,) for s in allstr], "s string")
+    fast = [
+        r["n"]
+        for r in pplan.parse_df(df, "s", "n", fast=True).select("n").collect()
+    ]
+    inline = [r["n"] for r in df.select(pplan.parse_expr(F.col("s")).alias("n")).collect()]
+    nanos, valid = pplan.parse_np(pd.Series(allstr))
+    npy = [int(v) if ok else None for v, ok in zip(nanos, valid)]
+    assert fast == inline == npy, f"fast-path divergence for {fmts!r}"
