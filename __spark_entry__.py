@@ -372,6 +372,22 @@ def q_multimodal_features(spark, sf_dir):
     return MM.ppm_features(media)
 
 
+def q_token_frequency(spark, sf_dir):
+    """Corpus vocabulary: per-token term + document frequency — the
+    wordcount shape every tokenizer-training pipeline starts from
+    (operators/text.py::token_frequencies). One explode + hash
+    aggregates; stopword skew absorbed by map-side combine."""
+    return TX.token_frequencies(_docs(spark, sf_dir))
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters, word-gram form
+    (operators/text.py::repetition_signals): distinct-token ratio +
+    top-{2,3}-gram mass per doc. One explode feeds all gram lengths;
+    two hash aggregates + a conditional-max pivot; no SortAggregate."""
+    return TX.repetition_signals(_docs(spark, sf_dir))
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment (operators/sampling.py):
     the label is a pure function of (doc_id, salt) via the md5-prefix
@@ -460,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
         "sequence_pack": q_sequence_pack,
+        "token_frequency": q_token_frequency,
+        "repetition_signals": q_repetition_signals,
     }
 
 
@@ -901,6 +919,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, grp, strt // 2048 AS bin, strt % 2048 AS bin_offset,
                    ((strt + greatest(n_tok, 1) - 1) // 2048) - (strt // 2048) + 1 AS n_bins
             FROM s""",
+        "token_frequency": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_transform({_WORDS}, x -> lower(x))) AS token
+              FROM documents),
+            tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY token),
+            dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+                    FROM (SELECT DISTINCT token, doc_id FROM toks) GROUP BY token)
+            SELECT token, tf, df_docs FROM tf JOIN dfq USING (token)""",
+        "repetition_signals": f"""
+            WITH base AS (
+              SELECT doc_id, list_transform({_WORDS}, x -> lower(x)) AS w
+              FROM documents),
+            nw AS (SELECT doc_id, len(w) AS n_words FROM base),
+            grams AS (
+              SELECT doc_id, 1 AS gn, unnest(w) AS g FROM base
+              UNION ALL
+              SELECT doc_id, 2 AS gn,
+                     unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                           i -> w[i] || ' ' || w[i+1])) AS g
+              FROM base
+              UNION ALL
+              SELECT doc_id, 3 AS gn,
+                     unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+              FROM base),
+            counts AS (SELECT doc_id, gn, g, count(*) AS c
+                       FROM grams GROUP BY doc_id, gn, g),
+            per_n AS (SELECT doc_id, gn, max(c) AS topc, count(*) AS ndist
+                      FROM counts GROUP BY doc_id, gn),
+            piv AS (SELECT doc_id,
+                      max(CASE WHEN gn = 1 THEN ndist END) AS n_distinct,
+                      max(CASE WHEN gn = 2 THEN topc END) AS top_bi,
+                      max(CASE WHEN gn = 3 THEN topc END) AS top_tri
+                    FROM per_n GROUP BY doc_id)
+            SELECT nw.doc_id, n_words,
+              round(CASE WHEN n_words > 0 THEN n_distinct / n_words ELSE 0.0 END, 6)
+                AS distinct_frac,
+              round(CASE WHEN n_words >= 2 THEN top_bi * 2.0 / n_words ELSE 0.0 END, 6)
+                AS top_bigram_frac,
+              round(CASE WHEN n_words >= 3 THEN top_tri * 3.0 / n_words ELSE 0.0 END, 6)
+                AS top_trigram_frac
+            FROM nw LEFT JOIN piv USING (doc_id)""",
         # ann_lsh_topk: candidate-generation — verified in pytest by
         # containment/recall vs the exact baseline (rows-only driver
         # check).

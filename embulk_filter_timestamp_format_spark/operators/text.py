@@ -171,3 +171,103 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang_pred.alias("lang_pred"),
         F.col("__fp").alias("fp_md5"),
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition/quality signals (the Gopher-rule family,
+    adapted word-wise because this corpus is single-line): distinct-token
+    ratio and the mass of the most-frequent word {2,3}-gram. High
+    top-gram mass or low distinct ratio flags boilerplate/spam docs in a
+    pretrain filter. Output: (doc_id, n_words, distinct_frac,
+    top_bigram_frac, top_trigram_frac), fractions rounded 6.
+
+    Scale shape: ONE explode feeds all three gram lengths (unigrams ride
+    along tagged n=1, so distinct-count needs no count-distinct expand),
+    then two fixed-width hash aggregates — (doc, n, gram) counts with
+    map-side combine, then per-(doc, n) max/sum — and a conditional-max
+    pivot per doc. Only the top COUNT is needed (not the gram itself),
+    so there is no argmax/SortAggregate anywhere. Docs with no tokens
+    are preserved by a left join from the slim (doc_id, n_words) base
+    (sort-merge at scale; both sides pre-reduced to one row per doc)."""
+    c = F.col(text_col)
+    # stage 1: tokenize once; ws is referenced by three gram builders
+    stage1 = df.select(F.col(id_col), words(F.lower(c)).alias("__ws"))
+    n = F.size("__ws")
+    uni = F.transform("__ws", lambda w: F.struct(F.lit(1).alias("n"), w.alias("g")))
+    bi_a = F.slice("__ws", 1, F.greatest(n - 1, F.lit(0)))
+    bi_b = F.slice("__ws", 2, F.greatest(n - 1, F.lit(0)))
+    bi = F.zip_with(
+        bi_a, bi_b,
+        lambda a, b: F.struct(F.lit(2).alias("n"), F.concat_ws(" ", a, b).alias("g")),
+    )
+    tri_a = F.slice("__ws", 1, F.greatest(n - 2, F.lit(0)))
+    tri_b = F.slice("__ws", 2, F.greatest(n - 2, F.lit(0)))
+    tri_c = F.slice("__ws", 3, F.greatest(n - 2, F.lit(0)))
+    tri = F.zip_with(
+        F.zip_with(tri_a, tri_b, lambda a, b: F.concat_ws(" ", a, b)),
+        tri_c,
+        lambda ab, cc: F.struct(F.lit(3).alias("n"), F.concat_ws(" ", ab, cc).alias("g")),
+    )
+    base = stage1.select(F.col(id_col), n.alias("n_words")).alias("base")
+    grams = stage1.select(
+        F.col(id_col), F.explode(F.concat(uni, bi, tri)).alias("gr")
+    ).select(F.col(id_col), F.col("gr.n").alias("gn"), F.col("gr.g").alias("g"))
+    counts = grams.groupBy(id_col, "gn", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_n = counts.groupBy(id_col, "gn").agg(
+        F.max("c").alias("topc"), F.count(F.lit(1)).alias("ndist")
+    )
+    pivoted = per_n.groupBy(id_col).agg(
+        F.max(F.when(F.col("gn") == 1, F.col("ndist"))).alias("n_distinct"),
+        F.max(F.when(F.col("gn") == 2, F.col("topc"))).alias("top_bi"),
+        F.max(F.when(F.col("gn") == 3, F.col("topc"))).alias("top_tri"),
+    )
+    out = base.join(pivoted, id_col, "left")
+    nw = F.col("n_words")
+    return out.select(
+        F.col(id_col),
+        nw,
+        F.round(
+            F.when(nw > 0, F.col("n_distinct") / nw).otherwise(F.lit(0.0)), 6
+        ).alias("distinct_frac"),
+        F.round(
+            F.when(nw >= 2, F.col("top_bi") * 2.0 / nw).otherwise(F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(nw >= 3, F.col("top_tri") * 3.0 / nw).otherwise(F.lit(0.0)), 6
+        ).alias("top_trigram_frac"),
+    )
+
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary table: per lowercase whitespace-token term
+    frequency (`tf`) and document frequency (`df_docs`) — the
+    vocabulary/IDF input of a tokenizer-training or quality-filter
+    stage. Output: (token, tf, df_docs), filtered to tf >= min_count.
+
+    Scale shape: explode → one hash shuffle on token with map-side
+    combine absorbing hot tokens (stopwords are exactly the skewed keys
+    partial aggregation flattens); df_docs via a (token, doc_id)
+    pre-distinct so the distinct count is two fixed-width hash
+    aggregates, never a count-distinct expand over the token stream.
+    Exact DuckDB twin in __spark_entry__ (token_frequency)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(words(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    out = tf.join(dfreq, "token").select("token", "tf", "df_docs")
+    return out.filter(F.col("tf") >= min_count) if min_count > 1 else out

@@ -381,3 +381,69 @@ def test_synth_ppm_payloads_are_valid_and_features_match_numpy(spark, docs):
         assert (f["width"], f["height"], f["n_px"]) == (w, h, w * h * 3)
         assert f["byte_sum"] == int(tiled.sum())
         assert (f["byte_min"], f["byte_max"]) == (int(tiled.min()), int(tiled.max()))
+
+
+def test_repetition_signals_matches_python(spark, docs):
+    from collections import Counter
+
+    from embulk_filter_timestamp_format_spark.operators import text as TXX
+
+    extra = spark.createDataFrame(
+        [
+            (900001, "a a a a"),          # maximal repetition
+            (900002, "one"),              # no bigram/trigram
+            (900003, "x y"),              # bigram but no trigram
+            (900004, "  "),               # empty after trim
+            (900005, "b c b c b c d"),    # dominant bigram
+        ],
+        "doc_id long, text string",
+    )
+    sample = docs.limit(80).select("doc_id", "text").unionByName(extra)
+
+    def py_signals(doc_id, text):
+        w = [t for t in (text or "").lower().split() if t]
+        n = len(w)
+        if n == 0:
+            return (doc_id, 0, 0.0, 0.0, 0.0)
+        bi = Counter(zip(w, w[1:]))
+        tri = Counter(zip(w, w[1:], w[2:]))
+        return (
+            doc_id,
+            n,
+            round(len(set(w)) / n, 6),
+            round(2.0 * max(bi.values()) / n, 6) if n >= 2 else 0.0,
+            round(3.0 * max(tri.values()) / n, 6) if n >= 3 else 0.0,
+        )
+
+    expected = sorted(
+        py_signals(r["doc_id"], r["text"]) for r in sample.collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_words"], r["distinct_frac"],
+         r["top_bigram_frac"], r["top_trigram_frac"])
+        for r in TXX.repetition_signals(sample).collect()
+    )
+    assert got == expected
+
+
+def test_token_frequencies_matches_python(spark, docs):
+    from collections import Counter
+
+    from embulk_filter_timestamp_format_spark.operators import text as TXX
+
+    sample = docs.limit(120)
+    tf, dfq = Counter(), Counter()
+    for r in sample.select("text").collect():
+        toks = [t for t in (r["text"] or "").lower().split() if t]
+        tf.update(toks)
+        dfq.update(set(toks))
+    got = {
+        r["token"]: (r["tf"], r["df_docs"])
+        for r in TXX.token_frequencies(sample).collect()
+    }
+    assert got == {t: (tf[t], dfq[t]) for t in tf}
+    # min_count filter
+    got5 = {
+        r["token"] for r in TXX.token_frequencies(sample, min_count=5).collect()
+    }
+    assert got5 == {t for t, c in tf.items() if c >= 5}
