@@ -158,10 +158,21 @@ def bench_cdc(spark, num_events: int, num_chunks: int = 4, runs: int = 3) -> dic
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def bench_parse_format(spark, rows: int = 2_000_000) -> dict:
+def bench_parse_format(spark, rows: int | None = None) -> dict:
     """The reference's own benchmark shape (bench/gen_dummy.rb: N timestamp
-    strings parsed and reformatted) — our Catalyst path, end to end."""
+    strings parsed and reformatted) — our Catalyst path, end to end.
+
+    Rows scale with the core count (250k/core, floor 2M — the same
+    steady-state protocol as scripts/percore_parse.py): the round-4
+    staged fast path trades fixed per-stage scheduling cost for 2.4×
+    per-row throughput, so a fixed 2M-row job at 32 cores measures
+    stage overhead, not the engine (measured 1.05 s fixed-2M vs
+    8.85M rows/s steady-state in BENCH/BASELINE.md round 4)."""
     from pyspark.sql import functions as F
+
+    if rows is None:
+        cores = spark.sparkContext.defaultParallelism
+        rows = max(2_000_000, 250_000 * cores)
 
     from embulk_filter_timestamp_format_spark.functions.format import TimestampFormatterPlan
     from embulk_filter_timestamp_format_spark.functions.parse import TimestampParserPlan
