@@ -17,6 +17,7 @@ from embulk_filter_timestamp_format_spark.functions.format import TimestampForma
 from embulk_filter_timestamp_format_spark.functions.parse import TimestampParserPlan
 from embulk_filter_timestamp_format_spark.functions import units as U
 from embulk_filter_timestamp_format_spark.functions.units import TimestampUnit
+from embulk_filter_timestamp_format_spark.operators import decontaminate as DC
 from embulk_filter_timestamp_format_spark.operators import dedup as D
 from embulk_filter_timestamp_format_spark.operators import sampling as SAMP
 from embulk_filter_timestamp_format_spark.operators import similarity as S
@@ -388,6 +389,20 @@ def q_repetition_signals(spark, sf_dir):
     return TX.repetition_signals(_docs(spark, sf_dir))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination report
+    (operators/decontaminate.py::contamination_report): per-training-doc
+    3-gram shingle overlap against a held-out "benchmark" slice
+    (doc_id % 25 == 7 stands in for the eval set — same split in the
+    oracle). Benchmark keys reduce to a broadcast int64 set; the corpus
+    side is one explode + broadcast semi-join + per-doc hash aggregate,
+    never shuffled by content."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 25 == 7)
+    train = docs.filter(F.col("doc_id") % 25 != 7)
+    return DC.contamination_report(train, bench, n=3, threshold=0.5)
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment (operators/sampling.py):
     the label is a pure function of (doc_id, salt) via the md5-prefix
@@ -478,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "token_frequency": q_token_frequency,
         "repetition_signals": q_repetition_signals,
+        "contamination": q_contamination,
     }
 
 
@@ -919,6 +935,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, grp, strt // 2048 AS bin, strt % 2048 AS bin_offset,
                    ((strt + greatest(n_tok, 1) - 1) // 2048) - (strt // 2048) + 1 AS n_bins
             FROM s""",
+        # decontaminate.contamination_report twin: same md5-prefix
+        # 60-bit shingle keys (_SHINGLE_KEYS), same % 25 == 7 benchmark
+        # split, unrounded fraction for the contaminated flag
+        "contamination": f"""
+            WITH base AS (
+              SELECT doc_id, list_transform({_WORDS}, x -> lower(x)) AS w
+              FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLE_KEYS} AS ks FROM base),
+            bench AS (SELECT DISTINCT unnest(ks) AS k FROM sh WHERE doc_id % 25 = 7),
+            train AS (SELECT doc_id, ks FROM sh WHERE doc_id % 25 <> 7),
+            tot AS (SELECT doc_id, CAST(len(ks) AS BIGINT) AS n_shingles FROM train),
+            hits AS (
+              SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM (SELECT doc_id, unnest(ks) AS k FROM train) t
+              JOIN bench USING (k)
+              GROUP BY t.doc_id)
+            SELECT tot.doc_id, n_shingles,
+              coalesce(n_hits, 0) AS n_hits,
+              round(CASE WHEN n_shingles > 0
+                         THEN coalesce(n_hits, 0) / n_shingles::DOUBLE
+                         ELSE 0.0 END, 6) AS overlap_frac,
+              (CASE WHEN n_shingles > 0
+                    THEN coalesce(n_hits, 0) / n_shingles::DOUBLE
+                    ELSE 0.0 END) >= 0.5 AS contaminated
+            FROM tot LEFT JOIN hits USING (doc_id)""",
         "token_frequency": f"""
             WITH toks AS (
               SELECT doc_id, unnest(list_transform({_WORDS}, x -> lower(x))) AS token
