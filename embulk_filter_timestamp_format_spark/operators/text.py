@@ -271,3 +271,62 @@ def token_frequencies(
     )
     out = tf.join(dfreq, "token").select("token", "tf", "df_docs")
     return out.filter(F.col("tf") >= min_count) if min_count > 1 else out
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, sklearn-style) — the keyword/topic
+    signal a corpus-curation pipeline derives next after the vocabulary
+    table. Output: (doc_id, rank, token, tf, score) with rank 1..k;
+    ties broken on rounded score then token, so ordering is
+    deterministic and engine-portable. Token-less docs emit no rows.
+
+    Scale shape: ONE explode feeds a (doc, token) hash aggregate; the
+    document-frequency side is re-aggregated from that same (already
+    vocabulary-sized) result — the raw token stream is never read twice
+    and there is no count-distinct expand. N rides in as a broadcast
+    1-row cross join (no driver action). The IDF join is vocab-sized —
+    broadcast by default, switchable off for billion-token vocabularies
+    (then a shuffled hash join on the slim (token, df) side). The only
+    per-doc sort is the final top-k window over each doc's distinct
+    tokens."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(words(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tfd = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tfd.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    if broadcast_vocab:
+        dfq = F.broadcast(dfq)
+    n_docs = F.broadcast(df.groupBy().agg(F.count(F.lit(1)).alias("__n")))
+    scored = (
+        tfd.join(dfq, "token")
+        .crossJoin(n_docs)
+        .select(
+            F.col(id_col),
+            F.col("token"),
+            F.col("tf"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1.0) / (F.col("df_docs") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", "score")
+    )

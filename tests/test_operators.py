@@ -447,3 +447,45 @@ def test_token_frequencies_matches_python(spark, docs):
         r["token"] for r in TXX.token_frequencies(sample, min_count=5).collect()
     }
     assert got5 == {t for t, c in tf.items() if c >= 5}
+
+
+def test_tfidf_keywords_matches_python(spark, docs):
+    import math
+    from collections import Counter
+
+    sample = docs.limit(120)
+    rows = sample.select("doc_id", "text").collect()
+    n_docs = len(rows)
+    per_doc, dfq = {}, Counter()
+    for r in rows:
+        toks = [t for t in (r["text"] or "").lower().split() if t]
+        per_doc[r["doc_id"]] = Counter(toks)
+        dfq.update(set(toks))
+    expect = {}
+    for did, tf in per_doc.items():
+        scored = [
+            (round(c * (math.log((n_docs + 1.0) / (dfq[t] + 1.0)) + 1.0), 6), t, c)
+            for t, c in tf.items()
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (score, t, c) in enumerate(scored[:3], start=1):
+            expect[(did, rank)] = (t, c, score)
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["score"])
+        for r in TX.tfidf_keywords(sample, k=3).collect()
+    }
+    assert got == expect
+
+
+def test_tfidf_keywords_edge_docs(spark):
+    # empty/null docs emit nothing; a single-doc corpus still ranks
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = TX.tfidf_keywords(df, k=10).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    by_rank = {r["rank"]: r for r in out}
+    # apple tf=2 outranks banana tf=1 (same df)
+    assert by_rank[1]["token"] == "apple" and by_rank[1]["tf"] == 2
+    assert by_rank[2]["token"] == "banana"
