@@ -389,6 +389,16 @@ def q_repetition_signals(spark, sf_dir):
     return TX.repetition_signals(_docs(spark, sf_dir))
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-5 smoothed-TF-IDF keywords
+    (operators/text.py::tfidf_keywords). One explode + two hash
+    aggregates (df re-aggregated from the vocab-sized tf table, no
+    second pass over tokens), broadcast IDF join, top-k window as the
+    only per-doc sort. Rounded-score + token ordering keeps ranks
+    engine-portable."""
+    return TX.tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination report
     (operators/decontaminate.py::contamination_report): per-training-doc
@@ -494,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequency": q_token_frequency,
         "repetition_signals": q_repetition_signals,
         "contamination": q_contamination,
+        "tfidf_keywords": q_tfidf_keywords,
     }
 
 
@@ -935,6 +946,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, grp, strt // 2048 AS bin, strt % 2048 AS bin_offset,
                    ((strt + greatest(n_tok, 1) - 1) // 2048) - (strt // 2048) + 1 AS n_bins
             FROM s""",
+        # text.tfidf_keywords twin: same smoothed idf, rounded-score +
+        # token rank ordering (row_number is deterministic under it)
+        "tfidf_keywords": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_transform({_WORDS}, x -> lower(x))) AS token
+              FROM documents),
+            tfd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                    FROM toks GROUP BY doc_id, token),
+            dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+                    FROM tfd GROUP BY token),
+            n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            scored AS (
+              SELECT tfd.doc_id, tfd.token, tf,
+                     round(tf * (ln((n_docs + 1.0) / (df_docs + 1.0)) + 1.0), 6)
+                       AS score
+              FROM tfd JOIN dfq USING (token), n),
+            ranked AS (
+              SELECT doc_id, token, tf, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, token ASC) AS rank
+              FROM scored)
+            SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, score
+            FROM ranked WHERE rank <= 5""",
         # decontaminate.contamination_report twin: same md5-prefix
         # 60-bit shingle keys (_SHINGLE_KEYS), same % 25 == 7 benchmark
         # split, unrounded fraction for the contaminated flag

@@ -135,6 +135,7 @@ class IceTable:
         seq: str = "event_seq",
         compact_threshold: int = 8,
         compact_jitter: "int | None" = None,
+        codec: str = "snappy",
     ) -> "IceTable":
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
@@ -167,6 +168,16 @@ class IceTable:
                     if compact_jitter is not None
                     else max(compact_threshold // 2, 0)
                 ),
+                # parquet codec for data files, a table property so every
+                # writer agrees. Measured on the 8M-event replay
+                # (scripts/codec_ab.py, two interleaved rounds,
+                # BENCH/NOTES.md round 4): at low steal snappy ≈
+                # uncompressed on wall clock and zstd/lz4 run ~8-15%
+                # slower, but zstd files are ~15% smaller — on an
+                # object-store-bound cluster that size win flips the
+                # tradeoff, so zstd is the documented at-scale setting
+                # while snappy stays the local default.
+                "codec": codec,
             },
             "files": [],
             "summary": {"batch_ids": {}, "lineage": [], "operation": "create"},
@@ -416,10 +427,12 @@ class IceTable:
         """
         tag = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, tag)
+        codec = self.snapshot()["spec"].get("codec", "snappy")
         with_bucket = df.withColumn("__bucket", self._bucket_expr(key, num_buckets))
         (
             with_bucket.repartition(num_buckets, F.col("__bucket"))
             .write.partitionBy("__bucket")
+            .option("compression", codec)
             .mode("append")
             .parquet(out_dir)
         )

@@ -212,3 +212,37 @@ def test_changelog_replication_rebuilds_table(spark, binlog_dir, tmp_path):
         )
         b.merge_into(upd, batch_id=i, source="replication")
     assert _state(b, None) == _state(a, None)
+
+
+def test_codec_table_property_applies_to_data_files(spark, tmp_path):
+    """codec= is a table-spec property honored by every write (parquet
+    footer says so); default stays snappy; reads are codec-transparent."""
+    import pyarrow.parquet as pq
+
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (str(i), [1, 2], 2, "s", "2024-01-01 00:00:00", ts, 0, i)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, TARGET_SCHEMA)
+
+    def file_codecs(t):
+        snap = t.snapshot()
+        out = set()
+        for e in snap["files"]:
+            md = pq.ParquetFile(f"{t.root}/{e['path']}").metadata
+            out.add(md.row_group(0).column(0).compression)
+        return out
+
+    t_default = IceTable.create(spark, str(tmp_path / "d"), TARGET_SCHEMA, num_buckets=4)
+    t_default.append(df)
+    assert file_codecs(t_default) == {"SNAPPY"}
+
+    t_zstd = IceTable.create(
+        spark, str(tmp_path / "z"), TARGET_SCHEMA, num_buckets=4, codec="zstd"
+    )
+    t_zstd.append(df)
+    assert file_codecs(t_zstd) == {"ZSTD"}
+    assert t_zstd.read().count() == 50
