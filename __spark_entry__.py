@@ -399,6 +399,16 @@ def q_tfidf_keywords(spark, sf_dir):
     return TX.tfidf_keywords(_docs(spark, sf_dir), k=5)
 
 
+def q_lm_score(spark, sf_dir):
+    """Self-trained bigram-LM fluency scoring
+    (operators/text.py::lm_score): Stupid-Backoff-style
+    ln(max(P_bigram, 0.4·P_unigram)) averaged per doc + a perplexity
+    proxy — the CCNet/Gopher LM-quality filter shape. Train = the same
+    one-explode hash aggregation as the vocabulary table; score = one
+    more corpus pass with broadcast model joins. No UDFs, no sorts."""
+    return TX.lm_score(_docs(spark, sf_dir))
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination report
     (operators/decontaminate.py::contamination_report): per-training-doc
@@ -505,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "contamination": q_contamination,
         "tfidf_keywords": q_tfidf_keywords,
+        "lm_score": q_lm_score,
     }
 
 
@@ -946,6 +957,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, grp, strt // 2048 AS bin, strt % 2048 AS bin_offset,
                    ((strt + greatest(n_tok, 1) - 1) // 2048) - (strt // 2048) + 1 AS n_bins
             FROM s""",
+        # text.lm_score twin: same self-trained bigram counts, same
+        # Stupid-Backoff max, alpha=0.4; round-6 absorbs summation-order
+        # ULP drift in the per-doc avg
+        "lm_score": f"""
+            WITH base AS (
+              SELECT doc_id, list_transform({_WORDS}, x -> lower(x)) AS w
+              FROM documents),
+            toks AS (SELECT doc_id, unnest(w) AS tok FROM base),
+            uni AS (SELECT tok, count(*)::DOUBLE AS uc FROM toks GROUP BY tok),
+            tot AS (SELECT sum(uc) AS tot FROM uni),
+            db2 AS (
+              SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             range(1, greatest(len(w) - 1, 0) + 1),
+                             i -> {{'w1': w[i], 'w2': w[i+1]}})) AS bg
+                    FROM base)),
+            big AS (SELECT w1, w2, count(*)::DOUBLE AS bc
+                    FROM db2 GROUP BY w1, w2),
+            sc AS (
+              SELECT d.doc_id,
+                     ln(greatest(bc / u1.uc, 0.4 * u2.uc / tot)) AS lp
+              FROM db2 d
+              JOIN big USING (w1, w2)
+              JOIN uni u1 ON u1.tok = d.w1
+              JOIN uni u2 ON u2.tok = d.w2, tot),
+            pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                          avg(lp) AS a
+                   FROM sc GROUP BY doc_id)
+            SELECT documents.doc_id,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   round(a, 6) AS avg_logprob,
+                   round(exp(-a), 6) AS ppl_proxy
+            FROM documents LEFT JOIN pd USING (doc_id)""",
         # text.tfidf_keywords twin: same smoothed idf, rounded-score +
         # token rank ordering (row_number is deterministic under it)
         "tfidf_keywords": f"""

@@ -330,3 +330,77 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "token", "tf", "score")
     )
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document bigram-LM fluency score — the KenLM-style
+    perplexity-proxy quality filter (CCNet/Gopher pipelines score docs
+    with an n-gram LM and drop the tails), self-trained on the corpus
+    itself in the same job. Output: (doc_id, n_bigrams,
+    avg_logprob, ppl_proxy) — avg_logprob is the mean
+    Stupid-Backoff-style log score ln(max(P_bigram, alpha * P_unigram))
+    over the doc's bigrams; ppl_proxy = exp(-avg_logprob). Docs with
+    < 2 tokens emit n_bigrams=0 and NULL scores.
+
+    Scale shape: the "training" pass is the same one-explode hash
+    aggregation as token_frequencies (bigram + unigram count tables are
+    vocabulary-sized, broadcast to the scoring join by default — at
+    billion-type vocabularies flip broadcast_model=False for shuffled
+    hash joins on slim (gram, count) rows). The scoring pass re-reads
+    the corpus once: explode doc bigrams, two model joins, one per-doc
+    aggregate. No sorts, no windows, no UDFs — plain Catalyst
+    end-to-end, with an exact DuckDB twin (`lm_score`)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("uc"))
+    total = uni.groupBy().agg(F.sum("uc").cast("double").alias("__tot"))
+
+    ws = words(F.lower(F.col(text_col)))
+    big_arr = F.zip_with(
+        ws,
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bigrams = df.select(
+        F.col(id_col), F.explode(big_arr).alias("bg")
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+
+    if broadcast_model:
+        uni, big = F.broadcast(uni), F.broadcast(big)
+    # P_bigram = bc / uc(w1); P_unigram(w2) = uc(w2) / total
+    scored = (
+        doc_bigrams.join(big, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("uc").alias("uc1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("uc").alias("uc2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.greatest(
+                    F.col("bc") / F.col("uc1"),
+                    F.lit(float(alpha)) * F.col("uc2") / F.col("__tot"),
+                )
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("lp").alias("__avg"),
+    )
+    base = df.select(F.col(id_col))
+    out = base.join(per_doc, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(F.col("__avg"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("__avg")), 6).alias("ppl_proxy"),
+    )

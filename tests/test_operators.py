@@ -489,3 +489,59 @@ def test_tfidf_keywords_edge_docs(spark):
     # apple tf=2 outranks banana tf=1 (same df)
     assert by_rank[1]["token"] == "apple" and by_rank[1]["tf"] == 2
     assert by_rank[2]["token"] == "banana"
+
+
+def test_lm_score_matches_python(spark, docs):
+    import math
+    from collections import Counter
+
+    sample = docs.limit(100)
+    rows = sample.select("doc_id", "text").collect()
+    toks = {
+        r["doc_id"]: [t for t in (r["text"] or "").lower().split() if t]
+        for r in rows
+    }
+    uni, big = Counter(), Counter()
+    for ws in toks.values():
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    tot = sum(uni.values())
+    expect = {}
+    for did, ws in toks.items():
+        lps = [
+            math.log(max(big[(a, b)] / uni[a], 0.4 * uni[b] / tot))
+            for a, b in zip(ws, ws[1:])
+        ]
+        if lps:
+            avg = sum(lps) / len(lps)
+            expect[did] = (len(lps), round(avg, 6), round(math.exp(-avg), 6))
+        else:
+            expect[did] = (0, None, None)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["ppl_proxy"])
+        for r in TX.lm_score(sample).collect()
+    }
+    assert set(got) == set(expect)
+    for did in expect:
+        gn, ga, gp = got[did]
+        en, ea, ep = expect[did]
+        assert gn == en
+        if ea is None:
+            assert ga is None and gp is None
+        else:
+            assert abs(ga - ea) < 1e-5 and abs(gp - ep) < 1e-3
+
+
+def test_lm_score_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "solo"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.lm_score(df).collect()}
+    # doc 1: all bigrams (a,a), P = 3/4 each -> avg ln(3/4)
+    import math
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_logprob"] - round(math.log(3 / 4), 6)) < 1e-6
+    for d in (2, 3, 4):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["avg_logprob"] is None and out[d]["ppl_proxy"] is None
