@@ -19,6 +19,7 @@ from embulk_filter_timestamp_format_spark.functions import units as U
 from embulk_filter_timestamp_format_spark.functions.units import TimestampUnit
 from embulk_filter_timestamp_format_spark.operators import decontaminate as DC
 from embulk_filter_timestamp_format_spark.operators import dedup as D
+from embulk_filter_timestamp_format_spark.operators import lines as L
 from embulk_filter_timestamp_format_spark.operators import sampling as SAMP
 from embulk_filter_timestamp_format_spark.operators import similarity as S
 from embulk_filter_timestamp_format_spark.operators import text as TX
@@ -409,6 +410,30 @@ def q_lm_score(spark, sf_dir):
     return TX.lm_score(_docs(spark, sf_dir))
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide span dedup (operators/lines.py::line_dedup): C4/CCNet
+    line-removal over 12-word spans — explode docs into spans, count
+    normalized spans corpus-wide, drop every occurrence of spans seen
+    >= 2 times, reassemble docs in order. One vocabulary-sized hash
+    aggregate + a broadcast drop-join + one per-doc regroup; no UDFs,
+    no unbounded sorts."""
+    return L.line_dedup(_docs(spark, sf_dir), chunk_words=12)
+
+
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+_MIX_BUDGET = 4000
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Token-budget domain mixture (operators/sampling.py::
+    mixture_report): DoReMi/Pile-style source reweighting — per-source
+    token totals, target token mass from the weight vector, stable-hash
+    acceptance thresholds, realized kept docs/tokens. One hash
+    aggregate + a broadcast threshold join; the corpus itself is never
+    shuffled."""
+    return SAMP.mixture_report(_docs(spark, sf_dir), _MIX_WEIGHTS, _MIX_BUDGET)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination report
     (operators/decontaminate.py::contamination_report): per-training-doc
@@ -516,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "tfidf_keywords": q_tfidf_keywords,
         "lm_score": q_lm_score,
+        "line_dedup": q_line_dedup,
+        "corpus_mix": q_corpus_mix,
     }
 
 
@@ -991,6 +1018,61 @@ def oracle_sql() -> dict[str, str]:
                    round(a, 6) AS avg_logprob,
                    round(exp(-a), 6) AS ppl_proxy
             FROM documents LEFT JOIN pd USING (doc_id)""",
+        # lines.line_dedup twin: same 12-word spans, same lower(trim)
+        # normalization, drop-all at count >= 2, order-preserving
+        # reassembly (string_agg skips the CASE's NULLs exactly like
+        # collect_list skips unmatched whens)
+        "line_dedup": f"""
+            WITH base AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            ch AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(w[(i*12)+1 : (i+1)*12], ' ') AS line
+              FROM (SELECT doc_id, w,
+                           unnest(range(0, CAST(ceil(len(w)/12.0) AS INT))) AS i
+                    FROM base)),
+            cnt AS (SELECT lower(trim(line)) AS norm, count(*) AS c
+                    FROM ch WHERE lower(trim(line)) <> '' GROUP BY 1),
+            k AS (SELECT doc_id, pos, line,
+                         (coalesce(c, 0) < 2 OR lower(trim(line)) = '') AS kept
+                  FROM ch LEFT JOIN cnt ON lower(trim(ch.line)) = cnt.norm),
+            agg AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_lines,
+                           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                           string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos) AS txt
+                    FROM k GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
+                   coalesce(n_kept, 0) AS n_kept,
+                   coalesce(txt, '') AS text_kept
+            FROM documents d LEFT JOIN agg USING (doc_id)""",
+        # sampling.mixture_report twin: same md5 bucket, same
+        # floor-based threshold, identical weight/budget literals
+        "corpus_mix": f"""
+            WITH d AS (
+              SELECT doc_id, source, CAST({_NWORDS} AS BIGINT) AS n_tok,
+                     (('0x' || substring(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                      % 10000) AS b
+              FROM documents),
+            t AS (SELECT source, CAST(count(*) AS BIGINT) AS total_docs,
+                         CAST(sum(n_tok) AS BIGINT) AS total_tokens
+                  FROM d GROUP BY source),
+            thr AS (
+              SELECT source, total_docs, total_tokens,
+                     4000.0 * (CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+                               WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 1.0
+                               ELSE 0.0 END) / 8.0 AS target,
+                     CASE WHEN total_tokens > 0
+                          THEN least(10000, CAST(floor(target / total_tokens * 10000) AS INT))
+                          ELSE 0 END AS rate_bp
+              FROM t),
+            k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS kept_docs,
+                         CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+                  FROM d JOIN thr USING (source)
+                  WHERE d.b < thr.rate_bp GROUP BY d.source)
+            SELECT source, total_docs, total_tokens,
+                   round(target, 6) AS target_tokens, rate_bp,
+                   coalesce(kept_docs, 0) AS kept_docs,
+                   coalesce(kept_tokens, 0) AS kept_tokens
+            FROM thr LEFT JOIN k USING (source)""",
         # text.tfidf_keywords twin: same smoothed idf, rounded-score +
         # token rank ordering (row_number is deterministic under it)
         "tfidf_keywords": f"""

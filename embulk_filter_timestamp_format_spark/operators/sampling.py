@@ -138,6 +138,146 @@ def stratified_sample(
     return df.filter(b < thr)
 
 
+def _mix_thresholds(
+    docs: DataFrame,
+    weights: "dict[str, float]",
+    budget: int,
+    group_col: str,
+    broadcast_totals: bool,
+) -> DataFrame:
+    """Per-group acceptance threshold (in HASH_BUCKETS units) for
+    :func:`token_budget_mix`: thr_g = floor(min(1, target_g / T_g) *
+    HASH_BUCKETS) where target_g = budget * w_g / sum(w) and T_g is the
+    group's observed token total. floor (not round) keeps the DuckDB
+    twin bit-exact regardless of either engine's rounding-mode choice.
+    Returns (group, total_docs, total_tokens, target_tokens, rate_bp).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    bad = {n: w for n, w in weights.items() if w <= 0}
+    if not weights or bad:
+        raise ValueError(f"mixture weights must be non-empty and positive: {bad}")
+    sumw = float(sum(weights.values()))
+    target = None
+    for name, w in weights.items():
+        cond = F.col(group_col) == name
+        val = F.lit(float(budget) * w / sumw)
+        target = (target.when if target is not None else F.when)(cond, val)
+    target = target.otherwise(F.lit(0.0))
+
+    totals = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    thr = totals.select(
+        F.col(group_col),
+        F.col("total_docs"),
+        F.col("total_tokens"),
+        target.alias("target_tokens"),
+        F.when(
+            F.col("total_tokens") > 0,
+            F.least(
+                F.lit(HASH_BUCKETS),
+                F.floor(
+                    target / F.col("total_tokens") * F.lit(HASH_BUCKETS)
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("rate_bp"),
+    )
+    return F.broadcast(thr) if broadcast_totals else thr
+
+
+def token_budget_mix(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    budget: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    tokens: "Column | None" = None,
+    salt: str = "mix",
+    broadcast_totals: bool = True,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling to a token budget — the
+    data-mixing step of a pretraining pipeline (DoReMi/Pile-style
+    source reweighting): given target weights per ``group_col`` value
+    and a total token ``budget``, keep a hash-selected subset of each
+    group whose expected token mass is ``budget * w_g / sum(w)``
+    (capped at the group's full size; groups absent from ``weights``
+    are dropped).
+
+    The keep decision is the engine's stable-bucket threshold — a pure
+    function of (key, salt) — so growing the corpus or re-sharding
+    never flips an existing document's membership, and lower budgets
+    select nested subsets of higher ones for ablations.
+
+    Scale shape (100 TB): one hash aggregate to the per-group token
+    totals (a #groups-row table, broadcast back by default — flip
+    ``broadcast_totals=False`` for million-group corpora), then a
+    stateless filter; the corpus is never shuffled. ``tokens`` defaults
+    to whitespace word count over ``text``.
+
+    Output: the kept rows of ``df`` plus ``n_tokens`` and the audit
+    columns ``mix_bucket`` / ``rate_bp``.
+    """
+    from .text import word_count
+
+    if tokens is None:
+        tokens = word_count(F.col("text"))
+    docs = df.withColumn("n_tokens", tokens.cast("long"))
+    thr = _mix_thresholds(docs, weights, budget, group_col, broadcast_totals)
+    return (
+        docs.join(thr.select(group_col, "rate_bp"), group_col)
+        .withColumn("mix_bucket", split_bucket(F.col(key_col), salt))
+        .filter(F.col("mix_bucket") < F.col("rate_bp"))
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    budget: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    tokens: "Column | None" = None,
+    salt: str = "mix",
+    broadcast_totals: bool = True,
+) -> DataFrame:
+    """Audit summary for :func:`token_budget_mix`: one row per observed
+    group — (group, total_docs, total_tokens, target_tokens, rate_bp,
+    kept_docs, kept_tokens). kept_* are the realized sample sizes under
+    the same thresholds the mix applies."""
+    from .text import word_count
+
+    if tokens is None:
+        tokens = word_count(F.col("text"))
+    docs = df.select(
+        F.col(group_col),
+        F.col(key_col),
+        tokens.cast("long").alias("n_tokens"),
+    )
+    thr = _mix_thresholds(docs, weights, budget, group_col, broadcast_totals)
+    kept = (
+        docs.join(thr.select(group_col, "rate_bp"), group_col)
+        .filter(split_bucket(F.col(key_col), salt) < F.col("rate_bp"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+    )
+    return thr.join(kept, group_col, "left").select(
+        F.col(group_col),
+        F.col("total_docs"),
+        F.col("total_tokens"),
+        F.round(F.col("target_tokens"), 6).alias("target_tokens"),
+        F.col("rate_bp").cast("int").alias("rate_bp"),
+        F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -126,3 +126,86 @@ def test_pack_sequences_plan_has_single_shuffle(spark, docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# token-budget domain mixture
+# ---------------------------------------------------------------------------
+
+_MIX_W = {"src0": 3.0, "src1": 2.0, "src2": 1.0}
+_MIX_BUDGET = 1500
+
+
+def _py_tokens(text):
+    return len([t for t in (text or "").strip().split() if t])
+
+
+def _py_mix(rows, weights, budget):
+    sumw = sum(weights.values())
+    totals, docs_by_g = {}, {}
+    for did, src, text in rows:
+        n = _py_tokens(text)
+        totals[src] = totals.get(src, 0) + n
+        docs_by_g.setdefault(src, []).append((did, n))
+    thr = {}
+    for g, t in totals.items():
+        target = budget * weights.get(g, 0.0) / sumw
+        thr[g] = min(10000, int(target / t * 10000)) if t > 0 else 0
+    kept = {
+        (did, g)
+        for g, ds in docs_by_g.items()
+        for did, n in ds
+        if _py_bucket(did, "mix") < thr[g]
+    }
+    return totals, thr, kept
+
+
+def test_token_budget_mix_matches_python_twin(spark, docs):
+    rows = [(r["doc_id"], r["source"], r["text"])
+            for r in docs.select("doc_id", "source", "text").collect()]
+    totals, thr, kept = _py_mix(rows, _MIX_W, _MIX_BUDGET)
+    out = SP.token_budget_mix(docs, _MIX_W, _MIX_BUDGET).select(
+        "doc_id", "source", "n_tokens", "rate_bp"
+    ).collect()
+    got = {(r["doc_id"], r["source"]) for r in out}
+    assert got == kept
+    for r in out:
+        assert r["rate_bp"] == thr[r["source"]]
+    # groups absent from the weights are dropped entirely
+    assert not any(g not in _MIX_W for _, g in got)
+
+
+def test_token_budget_mix_nested_budgets(spark, docs):
+    small = {(r["doc_id"]) for r in SP.token_budget_mix(docs, _MIX_W, 500).select("doc_id").collect()}
+    large = {(r["doc_id"]) for r in SP.token_budget_mix(docs, _MIX_W, 1500).select("doc_id").collect()}
+    assert small <= large
+
+
+def test_mixture_report_consistent_with_mix(spark, docs):
+    rep = {r["source"]: r for r in SP.mixture_report(docs, _MIX_W, _MIX_BUDGET).collect()}
+    rows = [(r["doc_id"], r["source"], r["text"])
+            for r in docs.select("doc_id", "source", "text").collect()]
+    totals, thr, kept = _py_mix(rows, _MIX_W, _MIX_BUDGET)
+    assert set(rep) == set(totals)
+    sumw = sum(_MIX_W.values())
+    for g, r in rep.items():
+        assert r["total_tokens"] == totals[g]
+        assert r["rate_bp"] == thr[g]
+        assert r["target_tokens"] == pytest.approx(
+            _MIX_BUDGET * _MIX_W.get(g, 0.0) / sumw, abs=1e-6
+        )
+        assert r["kept_docs"] == sum(1 for (d, gg) in kept if gg == g)
+    # realized kept token mass is near target for weighted groups
+    # (hash thresholds are unbiased; tolerance is loose at this scale)
+    for g in _MIX_W:
+        if rep[g]["rate_bp"] < 10000:
+            assert rep[g]["kept_tokens"] <= totals[g]
+
+
+def test_token_budget_mix_validation(spark, docs):
+    with pytest.raises(ValueError):
+        SP.token_budget_mix(docs, {}, 100)
+    with pytest.raises(ValueError):
+        SP.token_budget_mix(docs, {"src0": -1.0}, 100)
+    with pytest.raises(ValueError):
+        SP.token_budget_mix(docs, {"src0": 1.0}, 0)
