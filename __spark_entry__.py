@@ -221,6 +221,84 @@ def q_stream_window_counts(spark, sf_dir):
     return windowed_counts(ev, ts_col="event_time", window="1 minute", keys=("event_type",))
 
 
+def q_asof_price(spark, sf_dir):
+    """Distributed as-of join (operators/asof.py): each click event
+    picks up the same user's most recent purchase value at-or-before
+    its timestamp — kdb aj / pandas merge_asof / DuckDB ASOF JOIN,
+    expressed as one union + running-window pass (one shuffle per
+    side, no theta-join, no UDFs). Right side pre-aggregated to one
+    row per (user, ts) for determinism."""
+    from embulk_filter_timestamp_format_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("price"))
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"])
+    # unmatched lefts keep NULLs in the operator; the contract query
+    # sentinel-coalesces them because the driver's DuckDB fetch goes
+    # through pandas, where NULL double/timestamp become NaN/NaT
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.col("ts_asof"), F.lit("1900-01-01 00:00:00").cast("timestamp")
+        ).alias("ts_asof"),
+        F.coalesce(F.col("price"), F.lit(-1.0)).alias("price"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Bucketed range (interval) join (operators/ranges.py): each click
+    joined to every 2-hour post-signup window of the same user it falls
+    in — intervals exploded to epoch-anchored buckets, plain hash
+    equi-join on (user, bucket), exact-bounds verify; never a
+    nested-loop theta-join."""
+    from embulk_filter_timestamp_format_spark.operators.ranges import range_join
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type"),
+        F.col("event_id"),
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("range_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("range_end"),
+        F.col("event_id").alias("range_id"),
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return range_join(left, right, on="ts", by=["user_id"], bucket_width="1 hour")
+
+
+def q_sessionize(spark, sf_dir):
+    """Per-user session windows, 30-minute inactivity gap
+    (streaming/windows.py::sessionize): Spark's native session_window
+    merging aggregation — streaming-statefully on a stream, plain
+    gaps-and-islands on this bounded input (the oracle twin)."""
+    from embulk_filter_timestamp_format_spark.streaming.windows import sessionize
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"), F.col("ts").cast("timestamp").alias("event_time")
+    )
+    return sessionize(ev, gap="30 minutes")
+
+
 def q_cdc_lineage_stats(spark, sf_dir):
     """Per-micro-batch lineage: offset range + op counts (batch = event_id div 1000)."""
     ev = _events(spark, sf_dir)
@@ -543,6 +621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "line_dedup": q_line_dedup,
         "corpus_mix": q_corpus_mix,
+        "asof_price": q_asof_price,
+        "sessionize": q_sessionize,
+        "range_join": q_range_join,
     }
 
 
@@ -733,6 +814,50 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    CAST(count(*) AS BIGINT) AS events
             FROM events GROUP BY 1, 2, 3""",
+        # operators.asof.asof_join twin: DuckDB's native ASOF JOIN
+        # (inclusive backward) over the same deduplicated right side
+        "asof_price": """
+            WITH r AS (SELECT user_id, ts, round(max(value), 6) AS price
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+                 l AS (SELECT user_id, ts, event_id
+                       FROM events WHERE event_type = 'click')
+            SELECT l.user_id, l.ts, l.event_id,
+                   coalesce(r.ts, TIMESTAMP '1900-01-01 00:00:00') AS ts_asof,
+                   coalesce(r.price, -1.0) AS price
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        # operators.ranges.range_join twin: the plain theta-join the
+        # bucketed plan must reproduce exactly
+        "range_join": """
+            WITH r AS (SELECT user_id, ts AS range_start,
+                              ts + INTERVAL '2 hours' AS range_end,
+                              event_id AS range_id
+                       FROM events WHERE event_type = 'signup'),
+                 l AS (SELECT user_id, ts, event_id
+                       FROM events WHERE event_type = 'click')
+            SELECT l.user_id, l.ts, l.event_id,
+                   r.range_start, r.range_end, r.range_id
+            FROM l JOIN r ON l.user_id = r.user_id
+                         AND l.ts >= r.range_start AND l.ts <= r.range_end""",
+        # streaming.windows.sessionize twin: gaps-and-islands with the
+        # break at diff >= gap (session_window merges on STRICT overlap)
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN pts IS NULL
+                              OR ts - pts >= INTERVAL '30 minutes'
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   CAST(count(*) AS BIGINT) AS events
+            FROM s GROUP BY user_id, sid""",
         "cdc_dedup_latest": """
             SELECT user_id, event_id, event_type, round(value, 6) AS value
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn

@@ -87,7 +87,8 @@ def line_dedup(
 
     Line source, in priority order: an explicit ``lines`` array
     column, ``chunk_words``-word spans (:func:`chunk_lines`), or
-    ``split(text, sep)``.
+    ``split(text, sep)`` (``sep`` is a literal separator, regex-escaped
+    for the split and used verbatim for the rejoin).
 
     Output, one row per input document: ``(id_col, n_lines, n_kept,
     text_kept)`` where ``text_kept`` is the surviving lines re-joined

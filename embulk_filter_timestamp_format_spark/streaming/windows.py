@@ -52,6 +52,37 @@ def windowed_counts(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "event_time",
+    gap: str = "30 minutes",
+    keys: tuple = ("user_id",),
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-key session windows with an inactivity ``gap`` — Spark's
+    native ``session_window`` aggregation (merging-state session
+    operator on a stream; plain gaps-and-islands on a bounded input,
+    which is the SQL-oracle twin). A session breaks when the next
+    event is >= ``gap`` after the previous one (Spark merges on strict
+    overlap, so an exactly-gap-apart event starts a new session — the
+    DuckDB twin mirrors that with ``diff >= gap``). ``session_end`` is
+    last event + gap, per session_window's definition.
+
+    Scale: one shuffle on (key, merged-window); streaming state is one
+    open session per key bounded by the watermark."""
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "events",
+        )
+    )
+
+
 DOC_STATE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
