@@ -488,6 +488,25 @@ def q_lm_score(spark, sf_dir):
     return TX.lm_score(_docs(spark, sf_dir))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-duplicate cluster canonicalization (operators/components.py):
+    connected components over the MinHash-LSH pair graph — pairwise
+    matches are transitive (a~b, b~c groups a,b,c even when a,c never
+    shared a bucket), so the canonical group key is the component's min
+    doc_id, computed by iterative min-label propagation (O(cluster
+    diameter) rounds, two hash shuffles each, lineage truncated per
+    round). DuckDB twin: recursive-CTE transitive closure over the
+    same pair SQL."""
+    from embulk_filter_timestamp_format_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, n=3, threshold=0.8)
+    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    return comp.select(F.col("node").alias("doc_id"), F.col("component"))
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-wide span dedup (operators/lines.py::line_dedup): C4/CCNet
     line-removal over 12-word spans — explode docs into spans, count
@@ -624,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_price": q_asof_price,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -1005,6 +1025,21 @@ def oracle_sql() -> dict[str, str]:
         # exact-Jaccard verify — is reproduced in SQL (same (a,b)
         # constants, same integer arithmetic).
         "minhash_lsh": _MINHASH_PAIRS_SQL,
+        # operators.components twin: recursive-CTE transitive closure
+        # over the SAME MinHash pair SQL; component = min reachable id
+        "dedup_components": f"""
+            WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a AS node, a AS r FROM e
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r
+            )
+            SELECT d.doc_id, coalesce(m.comp, d.doc_id) AS component
+            FROM documents d
+            LEFT JOIN (SELECT node, min(r) AS comp FROM reach GROUP BY node) m
+              ON d.doc_id = m.node""",
         # lake-integrated maintenance: survivors = documents minus the
         # larger side of every verified near-dup pair (keep-min policy
         # over the SAME pipeline as minhash_lsh)

@@ -1,0 +1,91 @@
+"""Distributed connected components over an edge list.
+
+The canonicalization step a real dedup pipeline needs between
+near-duplicate PAIRS and delete decisions: MinHash-LSH emits pairwise
+matches, but duplicate groups are transitive (a~b, b~c puts a,b,c in
+one cluster even when a,c never met a band bucket). A per-pair
+keep-min policy handles stars but canonical-IDs chains inconsistently;
+the correct group key is the connected component.
+
+Algorithm: iterative min-label propagation — every node starts
+labelled with itself; each round every node takes the min of its own
+label and its neighbors' labels; converges in O(graph diameter)
+rounds. Near-dup graphs have tiny diameters (dup clusters are dense),
+so 3-5 rounds is typical. Each round is two hash shuffles (a join
+edges⨝labels + a min aggregate); lineage is truncated per round with
+an eager ``localCheckpoint`` so the plan doesn't grow with iterations
+(on a real cluster use ``checkpoint`` against the cluster FS).
+Convergence is detected by a changed-label count — one bounded action
+per round, the classic driver-side fixpoint loop (this is exactly the
+shape GraphX/GraphFrames runs; for adversarial long-path graphs swap
+in large-star/small-star [Kiveris et al., "Connected Components in
+MapReduce and Beyond"], which converges in O(log n) rounds).
+
+Reference parity note: the reference (embulk-filter-timestamp_format)
+has no graph operators; this is part of the training-data pipeline
+surface the brief adds (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: "DataFrame | None" = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Component labels for the undirected graph given by ``edges``.
+
+    Returns (node, component) — ``component`` is the smallest node id
+    in the node's connected component (a deterministic canonical id).
+    ``nodes`` optionally supplies the full vertex set (single-column
+    DataFrame); vertices that appear in no edge come back as singleton
+    components of themselves. Raises after ``max_iter`` rounds without
+    convergence rather than returning wrong labels.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    verts = und.select(F.col("a").alias("node")).distinct()
+    if nodes is not None:
+        vcol = nodes.columns[0]
+        verts = verts.union(nodes.select(F.col(vcol).alias("node"))).distinct()
+
+    labels = verts.select("node", F.col("node").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # labels flow across edges; a node's next label is the min of
+        # its own and everything its neighbors hold
+        prop = (
+            und.join(labels, und["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("component"))
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        old = labels
+        labels = new
+        old.unpersist()
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "graph diameter exceeds the bound — raise max_iter or use a "
+        "star-contraction variant"
+    )

@@ -12,10 +12,14 @@ Keep policy (``keep='min'``): every near-dup pair (id_a < id_b) keeps
 the smaller id; any document that is the larger side of ANY pair is
 dropped. Deterministic, one distinct over the slim pair ids, no
 connected-components iteration — the standard keep-first corpus-dedup
-rule. (A doc can be dropped while its kept partner is itself dropped by
-a another pair — the policy guarantees a canonical-free corpus, not
-per-cluster representatives; for per-cluster canonicals run the pass to
-a fixpoint, each round is one cheap changelog-sized commit.)
+rule. It guarantees a dup-free corpus, not per-cluster
+representatives: in a star through a high id (5~7, 6~7, 5!~6) it
+keeps BOTH 5 and 6. ``keep='component'`` instead runs
+``operators.components.connected_components`` over the pair graph and
+keeps exactly the min id of every transitive cluster in one pass —
+a few extra label-propagation shuffles over the slim pair ids (the
+pair graph, not the corpus), in exchange for true canonical
+representatives without fixpoint re-passes.
 
 At 100 TB: the sweep reads one snapshot (immutable files, column-pruned
 to id+text), the LSH shuffle moves slim (id, band, bucket) rows, the
@@ -39,6 +43,7 @@ def dedup_pass(
     batch_id: "int | None" = None,
     source: str = "maintenance",
     pairs_fn=None,
+    keep: str = "min",
     **lsh_kwargs,
 ) -> dict:
     """One corpus-dedup maintenance pass over ``table`` (any
@@ -48,7 +53,11 @@ def dedup_pass(
 
     ``pairs_fn(df) -> DataFrame[id_a, id_b, ...]`` overrides the
     default MinHash-LSH sweep (e.g. exact dedup, SimHash, or an
-    embedding near-dup pass)."""
+    embedding near-dup pass). ``keep`` picks the survivor policy:
+    ``'min'`` (pairwise, see module docstring) or ``'component'``
+    (per-transitive-cluster canonical via connected components)."""
+    if keep not in ("min", "component"):
+        raise ValueError(f"keep must be 'min' or 'component', got {keep!r}")
     from_version = table.current_version()
     df = table.read(from_version)
     if pairs_fn is not None:
@@ -57,9 +66,20 @@ def dedup_pass(
         pairs = minhash_lsh_pairs(
             df, id_col=id_col, text_col=text_col, threshold=threshold, **lsh_kwargs
         )
-    # keep='min': drop ids = distinct larger side of any pair (slim
-    # two-column shuffle; the wide payload joins back only below)
-    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if keep == "component":
+        # per-cluster canonical: label-propagate over the slim pair
+        # graph (edges only — isolated docs are their own component and
+        # never drop), survivors = component minima
+        from .components import connected_components
+
+        comp = connected_components(pairs)
+        drops = comp.filter(F.col("component") != F.col("node")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        # keep='min': drop ids = distinct larger side of any pair (slim
+        # two-column shuffle; the wide payload joins back only below)
+        drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     # the delete batch carries the dropped rows' own payload/seq: in COW
     # the key-match deletes; in MOR the tombstone ties the base row's
     # (key, seq) and wins by side-priority (delta-D = highest class)

@@ -86,6 +86,31 @@ def test_dedup_pass_clean_corpus_commits_nothing(spark, tmp_path):
     assert table.current_version() == v
 
 
+def test_dedup_pass_component_keep_vs_min(spark, tmp_path):
+    """Star through a high id (5~7, 6~7, 5!~6): keep='min' keeps both 5
+    and 6 (neither is the larger side of any pair), keep='component'
+    keeps only the cluster minimum 5."""
+    rows = [(5, "a", 1), (6, "b", 2), (7, "c", 3), (9, "d", 4)]
+
+    def star_pairs(df):
+        return df.sparkSession.createDataFrame(
+            [(5, 7), (6, 7)], "id_a long, id_b long"
+        )
+
+    for keep, expected in (("min", {5, 6, 9}), ("component", {5, 9})):
+        table = IceTable.create(
+            spark, str(tmp_path / f"star_{keep}"), DOC_SCHEMA,
+            key="doc_id", num_buckets=2,
+        )
+        ups = spark.createDataFrame(rows, DOC_SCHEMA).withColumn("op", F.lit("U"))
+        table.merge_into(ups, batch_id=0)
+        dedup_pass(table, pairs_fn=star_pairs, keep=keep, batch_id=1)
+        assert {r["doc_id"] for r in table.read().collect()} == expected
+
+    with pytest.raises(ValueError):
+        dedup_pass(table, keep="max")
+
+
 def test_dedup_pass_custom_pairs_fn(spark, tmp_path):
     """pairs_fn plugs any sweep (here: exact text equality)."""
     table = _seed_table(spark, tmp_path, "custom", "cow")
