@@ -507,6 +507,34 @@ def q_dedup_components(spark, sf_dir):
     return comp.select(F.col("node").alias("doc_id"), F.col("component"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (operators/pii.py): per-doc counts of
+    emails / IPv4s / phone-shaped digit runs plus the masked text, one
+    codegen-resident projection (3 count + 3 replace regexes on
+    progressively-masked text — no shuffle, scan-speed at any scale).
+    The corpus text is salted with deterministic doc_id-derived PII
+    (identically in the SQL twin) so the oracle exercises every
+    pattern, not just accidental hits. Patterns are written in the
+    Java-regex ∩ RE2 common subset; parity is pinned in
+    tests/test_pii.py::test_duckdb_parity."""
+    from embulk_filter_timestamp_format_spark.operators.pii import pii_signals
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7, call +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" done"),
+        ).alias("text"),
+    )
+    return pii_signals(docs, keep_scrubbed=True)
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-wide span dedup (operators/lines.py::line_dedup): C4/CCNet
     line-removal over 12-word spans — explode docs into spans, count
@@ -644,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -762,6 +791,39 @@ def _lang_case() -> str:
     best = f"greatest({','.join(exprs.values())})"
     whens = " ".join(f"WHEN {exprs[lang]} = __best THEN '{lang}'" for lang in langs)
     return exprs, best, whens
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB twin of q_pii_scrub, generated from the SAME
+    operators.pii.PII_PATTERNS constants (pattern AND replacement, $N
+    → \\N) so the two sides cannot drift — the count-then-mask
+    chaining over progressively-masked text is reproduced stage by
+    stage."""
+    from embulk_filter_timestamp_format_spark.operators.pii import PII_PATTERNS
+
+    salted = (
+        "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7, call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+        " || ' done' AS t FROM documents"
+    )
+    cur, prev, parts, names = "t", f"({salted})", [], []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        dpat = pat.replace("'", "''")
+        drepl = repl.replace("$", "\\")
+        parts.append(
+            f"m{i} AS (SELECT *, len(regexp_extract_all({cur}, '{dpat}'))"
+            f" AS {name}_count, regexp_replace({cur}, '{dpat}', '{drepl}', 'g')"
+            f" AS t{i} FROM {prev if i == 0 else f'm{i - 1}'})"
+        )
+        cur = f"t{i}"
+        names.append(f"{name}_count")
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT doc_id, {', '.join(names)},"
+        + " + ".join(names)
+        + f" AS pii_total, {cur} AS scrubbed FROM m{len(parts) - 1}"
+    )
 
 
 # MinHash-LSH pair pipeline in DuckDB (the twin of
@@ -1040,6 +1102,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN (SELECT node, min(r) AS comp FROM reach GROUP BY node) m
               ON d.doc_id = m.node""",
+        # operators.pii twin generated from the same PII_PATTERNS
+        # constants (see _pii_scrub_sql) — stage-by-stage count + mask
+        "pii_scrub": _pii_scrub_sql(),
         # lake-integrated maintenance: survivors = documents minus the
         # larger side of every verified near-dup pair (keep-min policy
         # over the SAME pipeline as minhash_lsh)

@@ -12,7 +12,12 @@ labelled with itself; each round every node takes the min of its own
 label and its neighbors' labels; converges in O(graph diameter)
 rounds. Near-dup graphs have tiny diameters (dup clusters are dense),
 so 3-5 rounds is typical. Each round is two hash shuffles (a join
-edges⨝labels + a min aggregate); lineage is truncated per round with
+edges⨝frontier + a min aggregate) — only labels that CHANGED last
+round propagate (Pregel-style active set: a stable label was already
+pushed to every neighbor in the round after it was acquired, and min
+is monotone, so delta propagation reaches the same fixpoint while the
+per-round shuffle shrinks toward the still-moving cluster cores
+instead of staying O(|V|·deg)); lineage is truncated per round with
 an eager ``localCheckpoint`` so the plan doesn't grow with iterations
 (on a real cluster use ``checkpoint`` against the cluster FS).
 Convergence is detected by a changed-label count — one bounded action
@@ -59,12 +64,18 @@ def connected_components(
 
     labels = verts.select("node", F.col("node").alias("component"))
     labels = labels.localCheckpoint(eager=True)
+    # Pregel-style active set: only labels that changed last round can
+    # improve a neighbor this round, so propagation joins the (shrinking)
+    # frontier instead of the full label table every iteration — on a
+    # mostly-converged graph each round's shuffle is O(|active|·deg),
+    # not O(|V|·deg). Round 1: every node is active.
+    frontier = labels
 
     for _ in range(max_iter):
-        # labels flow across edges; a node's next label is the min of
-        # its own and everything its neighbors hold
+        # frontier labels flow across edges; a node's next label is the
+        # min of its own and everything its active neighbors hold
         prop = (
-            und.join(labels, und["a"] == labels["node"])
+            und.join(frontier, und["a"] == frontier["node"])
             .select(F.col("b").alias("node"), F.col("component"))
         )
         new = (
@@ -73,16 +84,20 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         new = new.localCheckpoint(eager=True)
-        changed = (
+        new_frontier = (
             new.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+            .select("node", F.col("n.component").alias("component"))
+            .localCheckpoint(eager=True)
         )
-        old = labels
-        labels = new
+        changed = new_frontier.count()
+        if frontier is not labels:  # round 1's frontier IS labels
+            frontier.unpersist()
+        old, labels, frontier = labels, new, new_frontier
         old.unpersist()
         if changed == 0:
+            frontier.unpersist()
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
