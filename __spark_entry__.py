@@ -535,6 +535,20 @@ def q_pii_scrub(spark, sf_dir):
     return pii_signals(docs, keep_scrubbed=True)
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Grouped corpus profiling (operators/profile.py): per-language doc
+    counts, word mass, and length-distribution quantiles — one hash
+    aggregate on the tiny group key. The contract runs ``exact=True``
+    (percentile ≡ DuckDB quantile_cont, SQL-exact); the default
+    ``exact=False`` scale path swaps in approx_percentile (sketch,
+    fixed memory per group) and is closeness-tested in pytest."""
+    from embulk_filter_timestamp_format_spark.operators.profile import (
+        corpus_profile,
+    )
+
+    return corpus_profile(_docs(spark, sf_dir), exact=True)
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-wide span dedup (operators/lines.py::line_dedup): C4/CCNet
     line-removal over 12-word spans — explode docs into spans, count
@@ -673,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
         "pii_scrub": q_pii_scrub,
+        "corpus_profile": q_corpus_profile,
     }
 
 
@@ -1105,6 +1120,22 @@ def oracle_sql() -> dict[str, str]:
         # operators.pii twin generated from the same PII_PATTERNS
         # constants (see _pii_scrub_sql) — stage-by-stage count + mask
         "pii_scrub": _pii_scrub_sql(),
+        # operators.profile twin: Spark exact percentile ≡ DuckDB
+        # quantile_cont (both linear interpolation at rank p·(n-1));
+        # word counts via the shared _WORDS tokenizer twin
+        "corpus_profile": f"""
+            WITH d AS (SELECT lang, len({_WORDS}) AS nw,
+                              length(text) AS nc
+                       FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(nw) AS BIGINT) AS total_words,
+                   round(avg(nw), 6) AS avg_words,
+                   round(quantile_cont(nw, 0.25), 6) AS p25_words,
+                   round(quantile_cont(nw, 0.50), 6) AS p50_words,
+                   round(quantile_cont(nw, 0.90), 6) AS p90_words,
+                   round(quantile_cont(nw, 0.99), 6) AS p99_words,
+                   round(avg(nc), 6) AS avg_chars
+            FROM d GROUP BY lang""",
         # lake-integrated maintenance: survivors = documents minus the
         # larger side of every verified near-dup pair (keep-min policy
         # over the SAME pipeline as minhash_lsh)

@@ -81,14 +81,17 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     warm, cold = {}, {}
     for name, fn in E.queries().items():
         try:
-            df = fn(spark, sf_dir)
             t0 = time.time()
-            force(df)
+            force(fn(spark, sf_dir))
             cold[name] = round(time.time() - t0, 3)
             best = float("inf")
+            # warm re-CALLS the query fn: eager operators (driver-side
+            # fixpoints like dedup_components) do their real work inside
+            # fn(), and a pre-built DataFrame would time only the final
+            # checkpoint read. For lazy queries fn() is ms of plan build.
             for _ in range(2):
                 t0 = time.time()
-                force(df)
+                force(fn(spark, sf_dir))
                 best = min(best, time.time() - t0)
             warm[name] = round(best, 3)
         except Exception as ex:  # record, don't die
@@ -239,6 +242,9 @@ def main():
     ap.add_argument("--cdc-only", action="store_true",
                     help="skip the 23 contract queries and the parse bench; "
                          "re-measure just the headline CDC replay")
+    ap.add_argument("--queries-only", action="store_true",
+                    help="run just the contract queries + parse bench; "
+                         "skip the CDC replay (value = parse sec)")
     ap.add_argument("--runs", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CDC_RUNS", "3")),
                     help="replays per table mode; headline = best run")
@@ -258,13 +264,16 @@ def main():
         else:
             qtimes, qcold = bench_queries(spark, sf_dir)
             pf = bench_parse_format(spark)
-        cdc = bench_cdc(spark, args.events, runs=args.runs)
+        cdc = (
+            None if args.queries_only
+            else bench_cdc(spark, args.events, runs=args.runs)
+        )
     finally:
         spark.stop()
 
     result = {
         "metric": "cdc_replay_sec",
-        "value": cdc["replay_sec"],
+        "value": cdc["replay_sec"] if cdc else pf["sec"],
         "unit": "sec",
         "queries": qtimes,
         "queries_cold": qcold,

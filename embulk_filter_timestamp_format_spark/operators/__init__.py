@@ -13,5 +13,5 @@ __spark_entry__.py; candidate-generation operators (LSH) are verified by
 containment against their exact baselines in pytest instead.
 """
 
-from . import asof, components, dedup, lines, pii, ranges, sampling, similarity, text  # noqa: F401
+from . import asof, components, dedup, lines, pii, profile, ranges, sampling, similarity, text  # noqa: F401
 from .cache import unpersist_intermediates  # noqa: F401
