@@ -628,6 +628,38 @@ def q_sequence_pack(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_cdc_time_scan(spark, sf_dir):
+    """Manifest-stats data-skipping scan (lake/table.py::scan): events land
+    in an icetable as three seq-ordered appends (the CDC arrival order), so
+    each data file's footer min/max covers a disjoint time slice; a
+    time-range scan then prunes non-overlapping files driver-side before
+    any Spark job runs. Result ≡ read().filter(ts >= cutoff) — the oracle
+    is the plain filter; the file-pruning counters are asserted in
+    tests/test_scan.py. Cutoff = min + 70% of the ts span, computed in
+    integer epoch-µs in BOTH engines so the boundary is exact."""
+    import datetime as dt
+    import tempfile
+
+    from embulk_filter_timestamp_format_spark.lake import IceTable
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="efts_time_scan_")
+    table = IceTable.create(spark, root, ev.schema, key="event_id", num_buckets=8)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ; session is UTC
+    bounds = ev.agg(
+        F.min(us).alias("mn"), F.max(us).alias("mx"), F.max("event_id").alias("n")
+    ).first()
+    third = (bounds["n"] + 1) // 3
+    for i in range(3):
+        lo, hi = i * third, (i + 1) * third if i < 2 else bounds["n"] + 1
+        table.append(ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)))
+    cutoff_us = bounds["mn"] + (bounds["mx"] - bounds["mn"]) * 7 // 10
+    cutoff = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cutoff_us)
+    return table.scan([("ts", ">=", cutoff)])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one CDC round over sf0.001 events — tsfmt coercion
     (timestamp→string/epochs) + dedup-latest-per-key (the per-batch body
@@ -659,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup_latest": q_cdc_dedup_latest,
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_changelog": q_cdc_changelog,
+        "cdc_time_scan": q_cdc_time_scan,
         "cdc_lineage_stats": q_cdc_lineage_stats,
         "cdc_partition_lineage": q_cdc_partition_lineage,
         "dedup_exact": q_dedup_exact,
@@ -1009,6 +1042,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
             FROM events GROUP BY 1""",
+        # append-only icetable state == the raw events; the data-skipping
+        # scan must therefore equal the plain time-range filter. Cutoff is
+        # integer epoch-µs floor arithmetic in both engines (exact boundary).
+        "cdc_time_scan": """
+            WITH cut AS (
+              SELECT MIN(epoch_us(ts)) + ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 7) // 10 AS c
+              FROM events)
+            SELECT event_id, ts, user_id, event_type, round(value, 6) AS value
+            FROM events, cut
+            WHERE epoch_us(ts) >= cut.c""",
         "cdc_partition_lineage": """
             SELECT CAST(floor(event_id / 1000) AS BIGINT) AS batch_id,
                    (('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT % 8) AS partition,

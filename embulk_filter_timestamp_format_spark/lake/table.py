@@ -54,6 +54,154 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+_STATS_STR_TRUNC = 64  # Iceberg-style string bound truncation length
+
+
+def _stats_bound(value, lower: bool):
+    """JSON-safe (tagged_value, type) for one min/max bound, or (None, None)
+    when the value cannot be represented as a valid bound.
+
+    Strings are truncated to ``_STATS_STR_TRUNC`` chars: a truncated MIN is
+    still a valid lower bound as-is; a truncated MAX must be rounded UP
+    (last code point incremented, trailing U+10FFFF dropped) or discarded —
+    the Iceberg truncate(upper) rule."""
+    import datetime as _dt
+
+    if isinstance(value, bool) or value is None:
+        return None, None
+    if isinstance(value, int):
+        return value, "plain"
+    if isinstance(value, float):
+        # NaN is unordered — a NaN bound would poison every comparison
+        return (None, None) if value != value else (value, "plain")
+    if isinstance(value, bytes):
+        try:
+            value = value.decode("utf-8")
+        except UnicodeDecodeError:
+            return None, None
+    if isinstance(value, str):
+        if len(value) <= _STATS_STR_TRUNC:
+            return value, "plain"
+        if lower:
+            return value[:_STATS_STR_TRUNC], "plain"
+        trunc = value[:_STATS_STR_TRUNC]
+        while trunc and ord(trunc[-1]) >= 0x10FFFF:
+            trunc = trunc[:-1]
+        if not trunc:
+            return None, None
+        return trunc[:-1] + chr(ord(trunc[-1]) + 1), "plain"
+    if isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        epoch = _dt.datetime(1970, 1, 1)
+        return round((value - epoch).total_seconds() * 1_000_000), "ts"
+    if isinstance(value, _dt.date):
+        return value.isoformat(), "date"  # ISO order == lexicographic order
+    return None, None
+
+
+def _footer_column_stats(abs_path: str, cols: "list[str] | None"):
+    """(num_rows, {col: {"min","max","nulls","type"}}) from the parquet
+    FOOTER only — no data pages are read, so registering stats costs one
+    local metadata read per file (the same place Iceberg writers get
+    their manifest bounds; on an object store this is the tail read the
+    committer already holds in memory).
+
+    Top-level atomic columns only (nested paths like ``embedding.list.
+    element`` carry no useful file bound). A column whose min or max is
+    unrepresentable (NaN, non-UTF8, exotic logical type) records only
+    null counts — readers treat missing bounds as "may match"."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    acc: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name == "__bucket":
+                continue
+            if cols is not None and name not in cols:
+                continue
+            st = col.statistics
+            cur = acc.setdefault(
+                name, {"min": None, "max": None, "nulls": 0, "type": None, "ok": True}
+            )
+            if st is not None and st.has_null_count and st.null_count is not None:
+                cur["nulls"] += st.null_count
+            if st is None or not st.has_min_max:
+                # no bounds for this row group (all-null chunk, or a writer
+                # that dropped stats) — poisons the FILE's bounds, but the
+                # null tally above still enables the all-null prune
+                cur["ok"] = False
+                continue
+            lo, lo_t = _stats_bound(st.min, lower=True)
+            hi, hi_t = _stats_bound(st.max, lower=False)
+            if lo is None or hi is None:
+                cur["ok"] = False
+                continue
+            cur["type"] = lo_t or hi_t
+            cur["min"] = lo if cur["min"] is None else min(cur["min"], lo)
+            cur["max"] = hi if cur["max"] is None else max(cur["max"], hi)
+    out = {}
+    for name, cur in acc.items():
+        if not cur["ok"]:
+            cur["min"] = cur["max"] = None
+        cur.pop("ok")
+        out[name] = cur
+    return md.num_rows, out
+
+
+def _normalize_pred_value(value, stat_type: "str | None"):
+    """Predicate literal → the stats bound domain (datetime → epoch µs,
+    date → ISO string) so comparisons match ``_stats_bound``'s encoding."""
+    import datetime as _dt
+
+    if stat_type == "ts" and isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return round((value - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if stat_type == "date" and isinstance(value, _dt.date):
+        return value.isoformat()
+    return value
+
+
+def _entry_may_match(entry: dict, col: str, op: str, value) -> bool:
+    """Conservative file-level predicate check against manifest bounds.
+    True (keep the file) whenever stats are missing or incomparable;
+    False only on PROOF that no row in the file can satisfy the
+    predicate."""
+    stats = entry.get("stats", {}).get(col)
+    if stats is None:
+        return True
+    lo, hi = stats.get("min"), stats.get("max")
+    if lo is None or hi is None:
+        # no bounds. One provable case remains: an all-null column
+        # satisfies no comparison predicate.
+        rows = entry.get("rows")
+        return not (rows and stats.get("nulls") == rows)
+    try:
+        if op == "between":
+            vlo = _normalize_pred_value(value[0], stats.get("type"))
+            vhi = _normalize_pred_value(value[1], stats.get("type"))
+            return hi >= vlo and lo <= vhi
+        v = _normalize_pred_value(value, stats.get("type"))
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+        if op in ("=", "=="):
+            return lo <= v <= hi
+    except TypeError:
+        return True
+    return True  # unknown op: never prune on it
+
+
 class CommitConflict(Exception):
     pass
 
@@ -136,6 +284,7 @@ class IceTable:
         compact_threshold: int = 8,
         compact_jitter: "int | None" = None,
         codec: str = "snappy",
+        stats_cols: "list[str] | str" = "auto",
     ) -> "IceTable":
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
@@ -178,6 +327,15 @@ class IceTable:
                 # tradeoff, so zstd is the documented at-scale setting
                 # while snappy stays the local default.
                 "codec": codec,
+                # manifest column statistics: per-file min/max/null-count
+                # bounds harvested from the parquet FOOTER at commit time
+                # (no extra Spark job, no data-page reads). "auto" = every
+                # top-level atomic column; a list pins the tracked set
+                # (the at-scale setting — wide tables pay manifest bytes
+                # per column); [] disables collection. scan() uses the
+                # bounds for file-level (COW) / bucket-level (MOR) data
+                # skipping on top of the existing bucket pruning.
+                "stats_cols": stats_cols,
             },
             "files": [],
             "summary": {"batch_ids": {}, "lineage": [], "operation": "create"},
@@ -356,6 +514,92 @@ class IceTable:
         spec = snap["spec"]
         return self._merge_mor(base, deltas, spec["key"], spec.get("seq", "event_seq"))
 
+    def scan(
+        self,
+        predicates: "list[tuple]",
+        version: "int | None" = None,
+    ) -> DataFrame:
+        """Predicate scan with manifest-stats data skipping.
+
+        ``predicates`` is a conjunction of simple bounds —
+        ``[(col, op, value)]`` with op ∈ {<, <=, >, >=, =, between}
+        (``between`` takes a ``(lo, hi)`` 2-tuple, inclusive). The full
+        predicate is ALWAYS re-applied as a Spark filter; the manifest
+        bounds only decide which files never reach the scan, so the
+        result is exactly ``read(version).filter(...)`` at lower cost.
+
+        Skipping granularity follows the write mode:
+
+        * **COW / append-only** (no delta files): every row lives in
+          exactly one immutable file, so pruning is per FILE. CDC batches
+          arrive in (roughly) seq order, which makes per-file seq/time
+          ranges naturally tight — a time-range scan reads ~churn, not
+          the table.
+        * **MOR** (delta files present): the merged row for a key can
+          combine any of its bucket's base+delta files, so the safe unit
+          is the BUCKET — skipped only when NO file in it could satisfy
+          the conjunction. (A surviving row is always a physical row from
+          one file; if every file in a bucket refutes some predicate, no
+          merged row from that bucket can match.)
+
+        ``last_scan_info`` records {files_total, files_read,
+        buckets_skipped, granularity} for observability/tests. At 100 TB
+        the same bounds live in the snapshot JSON the driver already
+        parses — pruning stays a driver-side metadata pass, independent
+        of cluster size."""
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(snap["schema"])
+        files = snap["files"]
+        for col, op, _v in predicates:
+            if col not in {f.name for f in schema.fields}:
+                raise ValueError(f"scan predicate on unknown column {col!r}")
+            if op not in ("<", "<=", ">", ">=", "=", "==", "between"):
+                raise ValueError(f"unsupported scan op {op!r}")
+
+        def may_match(entry):
+            return all(_entry_may_match(entry, c, op, v) for c, op, v in predicates)
+
+        has_delta = any(f.get("delta") for f in files)
+        if has_delta:
+            buckets = {f["bucket"] for f in files}
+            kept = {
+                f["bucket"] for f in files if may_match(f)
+            }
+            out = self._read_state(snap, buckets=kept)
+            read_count = sum(1 for f in files if f["bucket"] in kept)
+            self.last_scan_info = {
+                "files_total": len(files),
+                "files_read": read_count,
+                "buckets_skipped": len(buckets - kept),
+                "granularity": "bucket",
+            }
+        else:
+            kept_files = [f for f in files if may_match(f)]
+            df = self._read_projected(kept_files, schema)
+            out = df if df is not None else self.spark.createDataFrame([], schema)
+            self.last_scan_info = {
+                "files_total": len(files),
+                "files_read": len(kept_files),
+                "buckets_skipped": 0,
+                "granularity": "file",
+            }
+        cond = F.lit(True)
+        for c, op, v in predicates:
+            col = F.col(c)
+            if op == "between":
+                cond = cond & col.between(F.lit(v[0]), F.lit(v[1]))
+            elif op == "<":
+                cond = cond & (col < F.lit(v))
+            elif op == "<=":
+                cond = cond & (col <= F.lit(v))
+            elif op == ">":
+                cond = cond & (col > F.lit(v))
+            elif op == ">=":
+                cond = cond & (col >= F.lit(v))
+            else:
+                cond = cond & (col == F.lit(v))
+        return out.filter(cond)
+
     def changes(
         self,
         from_version: int,
@@ -427,15 +671,31 @@ class IceTable:
         """
         tag = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, tag)
-        codec = self.snapshot()["spec"].get("codec", "snappy")
+        spec = self.snapshot()["spec"]
+        codec = spec.get("codec", "snappy")
+        stats_cols = spec.get("stats_cols", "auto")
         with_bucket = df.withColumn("__bucket", self._bucket_expr(key, num_buckets))
-        (
-            with_bucket.repartition(num_buckets, F.col("__bucket"))
-            .write.partitionBy("__bucket")
-            .option("compression", codec)
-            .mode("append")
-            .parquet(out_dir)
-        )
+        # Spark's default parquet timestamp encoding is the deprecated INT96,
+        # which carries NO footer min/max — switch to TIMESTAMP_MICROS for
+        # the table's data files so time columns get manifest bounds (and
+        # stay readable by every modern engine). Session conf, so save and
+        # restore around the write.
+        conf = self.spark.conf
+        prev_ts_type = conf.get("spark.sql.parquet.outputTimestampType", None)
+        conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            (
+                with_bucket.repartition(num_buckets, F.col("__bucket"))
+                .write.partitionBy("__bucket")
+                .option("compression", codec)
+                .mode("append")
+                .parquet(out_dir)
+            )
+        finally:
+            if prev_ts_type is not None:
+                conf.set("spark.sql.parquet.outputTimestampType", prev_ts_type)
+            else:
+                conf.unset("spark.sql.parquet.outputTimestampType")
         entries = []
         for bdir in os.listdir(out_dir):
             if not bdir.startswith("__bucket="):
@@ -449,6 +709,14 @@ class IceTable:
                     entry = {"path": rel, "bucket": bucket, "schema_version": schema_version}
                     if delta:
                         entry["delta"] = True
+                    if stats_cols != []:
+                        rows, stats = _footer_column_stats(
+                            os.path.join(out_dir, bdir, fn),
+                            None if stats_cols == "auto" else stats_cols,
+                        )
+                        entry["rows"] = rows
+                        if stats:
+                            entry["stats"] = stats
                     entries.append(entry)
         return entries
 
