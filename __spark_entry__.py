@@ -438,6 +438,56 @@ def q_corpus_dedup_pass(spark, sf_dir):
     return table.read().select("doc_id", "text")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Churn-proportional dedup (operators/incremental.py): documents
+    arrive in two merge batches (ids below / above the midpoint); each
+    batch is followed by an incremental pass that signs ONLY the new
+    docs and band-joins them against the persisted sketch table, so
+    old↔old pairs are never recomputed. Returned state must equal the
+    two-phase SQL twin: phase-1 LSH dedup of the first half, then
+    drops among (survivors ∪ second half) — old↔old pairs cannot occur
+    in phase 2 because band collisions are deterministic on text, so
+    any such pair would already have fired in phase 1."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from embulk_filter_timestamp_format_spark.lake import IceTable
+    from embulk_filter_timestamp_format_spark.operators.incremental import (
+        create_sketch_table,
+        incremental_dedup_pass,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("event_seq", T.LongType()),
+        ]
+    )
+    docs = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("long"),
+            "text",
+            F.col("doc_id").cast("long").alias("event_seq"),
+        )
+        .withColumn("op", F.lit("U"))
+    )
+    cut = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    root = tempfile.mkdtemp(prefix="efts_incr_dedup_")
+    corpus = IceTable.create(spark, root + "/corpus", schema, key="doc_id", num_buckets=8)
+    sketch = create_sketch_table(spark, root + "/sketch", num_buckets=8)
+    v0 = corpus.current_version()
+    corpus.merge_into(docs.filter(F.col("doc_id") < cut), batch_id=0, source="ingest")
+    r1 = incremental_dedup_pass(corpus, sketch, v0, batch_id=100)
+    corpus.merge_into(docs.filter(F.col("doc_id") >= cut), batch_id=1, source="ingest")
+    incremental_dedup_pass(
+        corpus, sketch, r1["corpus_version"] or r1["to_version"], batch_id=101
+    )
+    return corpus.read().select("doc_id", "text")
+
+
 def q_multimodal_features(spark, sf_dir):
     """documents → REAL binary PPM (P6) payloads (Catalyst-built: header
     + utf-8 bytes tiled to w*h*3) → pure-Python netpbm decode over Arrow
@@ -628,6 +678,62 @@ def q_sequence_pack(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _salted_url_docs(spark, sf_dir):
+    """documents + two deterministic URLs per doc (the corpus itself is
+    URL-free — checked): one uppercase-scheme https with default port,
+    tracking params and a fragment; one http on a non-default port with
+    trailing prose punctuation. Exercises every normalization rule."""
+    d = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" see HTTPS://WWW.Site"), s(d % 40),
+            F.lit(".CO.UK:443/p/"), s(d),
+            F.lit("?utm_source=x&ref="), s(d % 7),
+            F.lit("#frag then http://cdn"), s(d % 5),
+            F.lit(".example.net:8080/a/"), s(d % 11),
+            F.lit(")."),
+        ).alias("text"),
+    )
+
+
+def q_url_extract(spark, sf_dir):
+    """URL extraction + canonicalization + registered domain
+    (operators/urls.py): casefold scheme/host, drop default ports /
+    fragments / utm_* params, public-suffix-lite domain."""
+    from embulk_filter_timestamp_format_spark.operators import urls as URLS
+
+    return URLS.extract_urls(_salted_url_docs(spark, sf_dir))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain URL and doc counts over the salted corpus —
+    the Zipf-skewed hash aggregate (map-side combine absorbs head
+    domains)."""
+    from embulk_filter_timestamp_format_spark.operators import urls as URLS
+
+    return URLS.domain_stats(_salted_url_docs(spark, sf_dir))
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-rule composite quality filter (operators/text.py::
+    quality_filter): keep/drop + failed-rule attribution per document.
+    Thresholds tuned to this corpus's length band (min 30 / max 90
+    words, ≥1 required stopword) so the output splits keep/drop;
+    everything else is the published Gopher default."""
+    return TX.quality_filter(
+        _docs(spark, sf_dir),
+        min_words=30,
+        max_words=90,
+        min_required_stopwords=1,
+    )
+
+
 def q_cdc_time_scan(spark, sf_dir):
     """Manifest-stats data-skipping scan (lake/table.py::scan): events land
     in an icetable as three seq-ordered appends (the CDC arrival order), so
@@ -704,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "corpus_dedup_pass": q_corpus_dedup_pass,
+        "incremental_dedup": q_incremental_dedup,
         "multimodal_features": q_multimodal_features,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
@@ -721,6 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "pii_scrub": q_pii_scrub,
         "corpus_profile": q_corpus_profile,
+        "quality_filter": q_quality_filter,
+        "url_extract": q_url_extract,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -877,9 +987,13 @@ def _pii_scrub_sql() -> str:
 # MinHash-LSH pair pipeline in DuckDB (the twin of
 # operators.dedup.minhash_lsh_pairs) — used by the minhash_lsh oracle
 # and, composed, by the corpus_dedup_pass oracle
-_MINHASH_PAIRS_SQL = f"""
+def _minhash_pairs_sql(src: str = "documents") -> str:
+    """The MinHash-LSH pair pipeline over an arbitrary (doc_id, text)
+    relation ``src`` — parameterized so the incremental-dedup oracle can
+    instantiate it per phase."""
+    return f"""
             WITH base AS (SELECT doc_id, list_transform({_WORDS}, x -> lower(x)) AS w
-                          FROM documents),
+                          FROM {src}),
             shf AS (SELECT doc_id, s FROM
                       (SELECT doc_id, {_SHINGLE_KEYS} AS s FROM base)
                     WHERE len(s) > 0),
@@ -900,6 +1014,65 @@ _MINHASH_PAIRS_SQL = f"""
             FROM cand JOIN shf sa ON sa.doc_id = id_a JOIN shf sb ON sb.doc_id = id_b
             WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
                   / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8"""
+
+
+_MINHASH_PAIRS_SQL = _minhash_pairs_sql()
+
+
+def _url_pipeline_sql() -> str:
+    """Shared DuckDB CTE chain for the url_extract / domain_stats oracles,
+    generated from the SAME operators.urls pattern constants (regexes in
+    the RE2 ∩ Java common subset, so the engines cannot drift)."""
+    from embulk_filter_timestamp_format_spark.operators.urls import (
+        TWO_LEVEL_SUFFIXES,
+        URL_COMPONENTS_RE,
+        URL_RE,
+        URL_TRAIL_PUNCT_RE,
+    )
+
+    comp = URL_COMPONENTS_RE.replace("'", "''")
+    url_re = URL_RE.replace("'", "''")
+    suf = "[" + ",".join(f"'{x}'" for x in TWO_LEVEL_SUFFIXES) + "]"
+    salted = (
+        "SELECT doc_id, coalesce(text, '')"
+        " || ' see HTTPS://WWW.Site' || CAST(doc_id % 40 AS VARCHAR)"
+        " || '.CO.UK:443/p/' || CAST(doc_id AS VARCHAR)"
+        " || '?utm_source=x&ref=' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '#frag then http://cdn' || CAST(doc_id % 5 AS VARCHAR)"
+        " || '.example.net:8080/a/' || CAST(doc_id % 11 AS VARCHAR)"
+        " || ').' AS t FROM documents"
+    )
+    return f"""
+            WITH salted AS ({salted}),
+            u AS (SELECT doc_id, regexp_replace(raw, '{URL_TRAIL_PUNCT_RE}', '') AS url
+                  FROM (SELECT doc_id, unnest(regexp_extract_all(t, '{url_re}')) AS raw
+                        FROM salted)),
+            parts AS (SELECT doc_id, url,
+                lower(regexp_extract(url, '{comp}', 1)) AS scheme,
+                lower(regexp_extract(url, '{comp}', 2)) AS host,
+                regexp_extract(url, '{comp}', 3) AS port,
+                regexp_extract(url, '{comp}', 4) AS path,
+                regexp_extract(url, '{comp}', 5) AS q FROM u),
+            enriched AS (SELECT *,
+                string_split(host, '.') AS hl,
+                array_to_string(list_filter(string_split(q, '&'),
+                  p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') AS qkept
+              FROM parts),
+            urls AS (SELECT doc_id, url,
+                scheme || '://' || host
+                || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443'))
+                     THEN ':' || port ELSE '' END
+                || CASE WHEN path = '/' THEN '' ELSE path END
+                || CASE WHEN qkept <> '' THEN '?' || qkept ELSE '' END AS norm_url,
+                host,
+                CASE WHEN len(hl) <= 2 THEN host
+                     WHEN list_contains({suf},
+                            array_to_string(list_slice(hl, len(hl) - 1, len(hl)), '.'))
+                       THEN array_to_string(list_slice(hl, len(hl) - 2, len(hl)), '.')
+                     ELSE array_to_string(list_slice(hl, len(hl) - 1, len(hl)), '.')
+                END AS domain
+              FROM enriched)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1186,6 +1359,23 @@ def oracle_sql() -> dict[str, str]:
             WITH pairs AS ({_MINHASH_PAIRS_SQL})
             SELECT doc_id, text FROM documents
             WHERE doc_id NOT IN (SELECT id_b FROM pairs)""",
+        # two-phase twin of the incremental pass: phase 1 dedups the
+        # first half, phase 2 drops id_b among (survivors ∪ second
+        # half). Band collisions are deterministic on text, so old↔old
+        # pairs cannot appear in phase 2 (they fired in phase 1) — the
+        # pair set equals the incremental new⨝all candidate set.
+        "incremental_dedup": f"""
+            WITH cutoff AS (SELECT (MAX(doc_id) + 1) // 2 AS c FROM documents),
+            docs1 AS (SELECT doc_id, text FROM documents, cutoff WHERE doc_id < c),
+            p1 AS ({_minhash_pairs_sql("docs1")}),
+            surv1 AS (SELECT doc_id, text FROM docs1
+                      WHERE doc_id NOT IN (SELECT id_b FROM p1)),
+            corpus2 AS (SELECT doc_id, text FROM surv1
+                        UNION ALL
+                        SELECT doc_id, text FROM documents, cutoff WHERE doc_id >= c),
+            p2 AS ({_minhash_pairs_sql("corpus2")})
+            SELECT doc_id, text FROM corpus2
+            WHERE doc_id NOT IN (SELECT id_b FROM p2)""",
         # simhash candidate generation covers ALL pairs at distance ≤ d
         # (multi-index pigeonhole), so the result equals the brute-force
         # all-pairs Hamming filter — which IS the oracle below.
@@ -1428,6 +1618,72 @@ def oracle_sql() -> dict[str, str]:
             dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs
                     FROM (SELECT DISTINCT token, doc_id FROM toks) GROUP BY token)
             SELECT token, tf, df_docs FROM tf JOIN dfq USING (token)""",
+        "url_extract": _url_pipeline_sql()
+        + """
+            SELECT doc_id, url, norm_url, host, domain FROM urls""",
+        "domain_stats": _url_pipeline_sql()
+        + """
+            SELECT o.domain, o.n_urls, d.n_docs
+            FROM (SELECT domain, count(*) AS n_urls FROM urls GROUP BY domain) o
+            JOIN (SELECT domain, count(*) AS n_docs
+                  FROM (SELECT DISTINCT domain, doc_id FROM urls) GROUP BY domain) d
+              USING (domain)""",
+        # same word/gram pipeline as repetition_signals; thresholds compare
+        # the SAME float arithmetic both sides (integer-exact numerators,
+        # IEEE division; repetition fracs rounded 6 BEFORE comparison, as
+        # in the operator), so keep/reasons are engine-exact
+        "quality_filter": f"""
+            WITH base AS (
+              SELECT doc_id, text, list_transform({_WORDS}, x -> lower(x)) AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id, 2 AS gn,
+                     unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                           i -> w[i] || ' ' || w[i+1])) AS g
+              FROM base
+              UNION ALL
+              SELECT doc_id, 3 AS gn,
+                     unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+              FROM base),
+            counts AS (SELECT doc_id, gn, g, count(*) AS c
+                       FROM grams GROUP BY doc_id, gn, g),
+            per_n AS (SELECT doc_id, gn, max(c) AS topc FROM counts GROUP BY doc_id, gn),
+            piv AS (SELECT doc_id,
+                      max(CASE WHEN gn = 2 THEN topc END) AS top_bi,
+                      max(CASE WHEN gn = 3 THEN topc END) AS top_tri
+                    FROM per_n GROUP BY doc_id),
+            sig AS (SELECT b.doc_id,
+                      coalesce(len(w), 0) AS n_words,
+                      CASE WHEN coalesce(len(w), 0) > 0
+                           THEN list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+                           ELSE 0.0 END AS mwl,
+                      CASE WHEN coalesce(len(w), 0) > 0
+                           THEN (len(regexp_extract_all(text, '#'))
+                                 + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE / len(w)
+                           ELSE 0.0 END AS sym,
+                      CASE WHEN coalesce(len(w), 0) > 0
+                           THEN len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(w)
+                           ELSE 0.0 END AS alpha,
+                      coalesce(len(list_distinct(list_filter(w,
+                        x -> list_contains(['and','be','have','of','that','the','to','with'], x)))), 0) AS nstop,
+                      round(CASE WHEN coalesce(len(w), 0) >= 2 THEN top_bi * 2.0 / len(w) ELSE 0.0 END, 6) AS top_bi_f,
+                      round(CASE WHEN coalesce(len(w), 0) >= 3 THEN top_tri * 3.0 / len(w) ELSE 0.0 END, 6) AS top_tri_f
+                    FROM base b LEFT JOIN piv USING (doc_id)),
+            fl AS (SELECT doc_id, n_words, mwl, alpha,
+                     concat_ws(',',
+                       CASE WHEN n_words < 30 OR n_words > 90 THEN 'word_count' END,
+                       CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len' END,
+                       CASE WHEN sym > 0.1 THEN 'symbol_ratio' END,
+                       CASE WHEN alpha < 0.8 THEN 'alpha_words' END,
+                       CASE WHEN nstop < 1 THEN 'stopwords' END,
+                       CASE WHEN top_bi_f > 0.18 THEN 'bigram_rep' END,
+                       CASE WHEN top_tri_f > 0.16 THEN 'trigram_rep' END) AS reasons
+                   FROM sig)
+            SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+                   round(alpha, 6) AS alpha_word_frac,
+                   reasons = '' AS keep, reasons
+            FROM fl""",
         "repetition_signals": f"""
             WITH base AS (
               SELECT doc_id, list_transform({_WORDS}, x -> lower(x)) AS w

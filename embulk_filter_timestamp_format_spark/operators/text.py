@@ -404,3 +404,107 @@ def lm_score(
         F.round(F.col("__avg"), 6).alias("avg_logprob"),
         F.round(F.exp(-F.col("__avg")), 6).alias("ppl_proxy"),
     )
+
+
+# the Gopher quality-filter rule set needs a *specific* stopword list
+# (Rae et al. 2021 §A1.1: "the, be, to, of, and, that, have, with")
+REQUIRED_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+    max_top_bigram_frac: float = 0.18,
+    max_top_trigram_frac: float = 0.16,
+    with_repetition: bool = True,
+) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021 §A1.1,
+    public rule set): per-document keep/drop with the FAILED rule names,
+    so a pipeline can both filter and audit why documents fell out.
+
+    Rules (each threshold a kwarg):
+      word_count      n_words ∈ [min_words, max_words]
+      mean_word_len   mean characters per word ∈ [min, max]
+      symbol_ratio    ('#' + '...') occurrences / n_words ≤ max
+      alpha_words     frac of words containing a letter ≥ min
+      stopwords       ≥ N distinct of the 8 Gopher required stopwords
+      bigram_rep / trigram_rep (with_repetition=True)
+                      top-{2,3}-gram mass ≤ max (via repetition_signals)
+
+    Output: (id, n_words, mean_word_len, alpha_word_frac, keep,
+    reasons) — reasons is the comma-joined failed-rule list in fixed
+    order (empty string = keep). Scale shape: the document-level rules
+    are ONE codegen projection over the token array (no shuffle); the
+    two repetition rules reuse repetition_signals' two hash aggregates
+    and join back on the id — cut `with_repetition` to stay
+    shuffle-free. Thresholds compare the same float arithmetic in the
+    DuckDB twin (integer-exact numerators/denominators, IEEE division),
+    so keep/reasons are engine-exact."""
+    c = F.col(text_col)
+    ws = words(F.lower(c))
+    nw = F.coalesce(F.size(ws), F.lit(0))
+    nw = F.greatest(nw, F.lit(0))
+    sum_len = F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    mean_wl = F.when(nw > 0, sum_len / nw).otherwise(F.lit(0.0))
+    n_symbols = F.coalesce(
+        F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit("\\.\\.\\.")),
+        F.lit(0),
+    )
+    sym_ratio = F.when(nw > 0, n_symbols / nw).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    alpha_frac = F.when(nw > 0, n_alpha / nw).otherwise(F.lit(0.0))
+    n_req_stop = F.size(
+        F.array_distinct(F.filter(ws, lambda w: w.isin(*REQUIRED_STOPWORDS)))
+    )
+    n_req_stop = F.coalesce(n_req_stop, F.lit(0))
+
+    stage1 = df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        mean_wl.alias("__mwl"),
+        sym_ratio.alias("__sym"),
+        alpha_frac.alias("__alpha"),
+        n_req_stop.alias("__nstop"),
+    )
+    fails = [
+        (
+            "word_count",
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words),
+        ),
+        (
+            "mean_word_len",
+            (F.col("__mwl") < min_mean_word_len) | (F.col("__mwl") > max_mean_word_len),
+        ),
+        ("symbol_ratio", F.col("__sym") > max_symbol_word_ratio),
+        ("alpha_words", F.col("__alpha") < min_alpha_word_frac),
+        ("stopwords", F.col("__nstop") < min_required_stopwords),
+    ]
+    if with_repetition:
+        rep = repetition_signals(df, text_col, id_col).select(
+            F.col(id_col), "top_bigram_frac", "top_trigram_frac"
+        )
+        stage1 = stage1.join(rep, id_col)
+        fails += [
+            ("bigram_rep", F.col("top_bigram_frac") > max_top_bigram_frac),
+            ("trigram_rep", F.col("top_trigram_frac") > max_top_trigram_frac),
+        ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in fails]
+    )
+    return stage1.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.round(F.col("__mwl"), 6).alias("mean_word_len"),
+        F.round(F.col("__alpha"), 6).alias("alpha_word_frac"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
