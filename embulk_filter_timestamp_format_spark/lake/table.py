@@ -285,6 +285,8 @@ class IceTable:
         compact_jitter: "int | None" = None,
         codec: str = "snappy",
         stats_cols: "list[str] | str" = "auto",
+        sort_cols: "list[str] | None" = None,
+        parquet_block_bytes: "int | None" = None,
     ) -> "IceTable":
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
@@ -336,6 +338,18 @@ class IceTable:
                 # bounds for file-level (COW) / bucket-level (MOR) data
                 # skipping on top of the existing bucket pruning.
                 "stats_cols": stats_cols,
+                # z-order-lite: sort rows WITHIN each bucket file by these
+                # columns at write time (one sortWithinPartitions on the
+                # already-bucket-partitioned batch — no extra shuffle).
+                # Row groups inside a file then cover disjoint sort-key
+                # ranges, so the parquet reader's row-group pruning (and
+                # dictionary/RLE encoding) bite on seq/time filters —
+                # the intra-file complement of scan()'s file-level
+                # skipping. parquet_block_bytes sizes the row groups
+                # (default: writer default 128 MB; smaller = finer
+                # pruning granularity, more footer overhead).
+                "sort_cols": sort_cols,
+                "parquet_block_bytes": parquet_block_bytes,
             },
             "files": [],
             "summary": {"batch_ids": {}, "lineage": [], "operation": "create"},
@@ -684,13 +698,24 @@ class IceTable:
         prev_ts_type = conf.get("spark.sql.parquet.outputTimestampType", None)
         conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         try:
-            (
-                with_bucket.repartition(num_buckets, F.col("__bucket"))
-                .write.partitionBy("__bucket")
+            batch = with_bucket.repartition(num_buckets, F.col("__bucket"))
+            sort_cols = spec.get("sort_cols")
+            if sort_cols:
+                # __bucket leads the sort so the dynamic-partition writer
+                # sees its required ordering already satisfied and does
+                # NOT re-sort (a re-sort on __bucket alone is unstable and
+                # would scramble the secondary order)
+                batch = batch.sortWithinPartitions("__bucket", *sort_cols)
+            writer = (
+                batch.write.partitionBy("__bucket")
                 .option("compression", codec)
                 .mode("append")
-                .parquet(out_dir)
             )
+            if spec.get("parquet_block_bytes"):
+                writer = writer.option(
+                    "parquet.block.size", str(spec["parquet_block_bytes"])
+                )
+            writer.parquet(out_dir)
         finally:
             if prev_ts_type is not None:
                 conf.set("spark.sql.parquet.outputTimestampType", prev_ts_type)

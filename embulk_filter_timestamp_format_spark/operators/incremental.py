@@ -128,7 +128,10 @@ def incremental_dedup_pass(
     'sketch_version'}; the committed versions are None when the
     respective merge had nothing to do."""
     to_version = corpus.current_version()
-    ch = corpus.changes(from_version, to_version)
+    # the changelog diff is itself a two-snapshot join — persist it ONCE;
+    # it feeds the signature batch, the touched-key set, and the sketch
+    # delete side (uncached each reference re-reads both snapshots)
+    ch = corpus.changes(from_version, to_version).persist()
     changed = ch.filter(F.col("_change_type") != "delete").select(
         F.col(id_col), F.col(text_col), F.col(seq_col)
     )
@@ -184,10 +187,19 @@ def incremental_dedup_pass(
     )
     verified = _jaccard_verify(pairs, threshold)
 
-    # keep-min survivor policy (matches dedup_pass): drop the larger id
-    drops = verified.select(F.col("id_b").alias(id_col)).distinct()
-    corpus_deletes = state.join(drops, id_col).withColumn("op", F.lit("D"))
-    corpus_version = corpus.merge_into(corpus_deletes, batch_id=batch_id, source=source)
+    # keep-min survivor policy (matches dedup_pass): drop the larger id.
+    # Persist + materialize the slim drop set NOW — it anchors the whole
+    # LSH/verify pipeline, and three consumers follow (merge probe, the
+    # delete batch, the sketch delete side); uncached, each would re-run
+    # candidate generation + verify end-to-end.
+    drops = verified.select(F.col("id_b").alias(id_col)).distinct().persist()
+    drops.count()
+    corpus_deletes = state.join(F.broadcast(drops), id_col).withColumn("op", F.lit("D"))
+    # probe_df: the touched keys ARE the drop set — saves merge_into's
+    # bucket probe from executing the delete-batch plan a second time
+    corpus_version = corpus.merge_into(
+        corpus_deletes, batch_id=batch_id, source=source, probe_df=drops
+    )
 
     # sketch maintenance in ONE batch: changed docs upsert their new
     # signature (or delete it when the doc degenerated to no shingles),
@@ -210,6 +222,8 @@ def incremental_dedup_pass(
     sk_batch = sk_up.join(sk_del_ids, id_col, "left_anti").unionByName(sk_del)
     sketch_version = sketch.merge_into(sk_batch, batch_id=batch_id, source=source)
     new_sigs.unpersist()
+    drops.unpersist()
+    ch.unpersist()
     return {
         "from_version": from_version,
         "to_version": to_version,

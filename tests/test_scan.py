@@ -208,3 +208,53 @@ def test_bounds_conservative_on_type_mismatch():
     assert _entry_may_match(entry, "x", "=", 5)
     assert not _entry_may_match(entry, "x", ">", 9)
     assert _entry_may_match(entry, "x", ">=", 9)
+
+
+def test_sorted_within_bucket_row_groups(spark, tmp_path_factory):
+    """sort_cols gives z-order-lite files: rows inside each bucket file
+    are seq-sorted, so with small row groups (parquet_block_bytes) the
+    per-row-group min/max ranges are DISJOINT — the parquet reader's
+    row-group pruning becomes effective on seq/time filters. Also proves
+    the dynamic-partition writer did not re-sort (a __bucket-only re-sort
+    is unstable and would scramble the secondary order)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("scan_sorted"))
+    t = IceTable.create(
+        spark, root, SCHEMA, key="doc_id", num_buckets=2,
+        sort_cols=["event_seq"], parquet_block_bytes=64 * 1024,
+    )
+    # scrambled arrival order: the write path must impose the sort
+    t.append(_batch(spark, 0, 20000).orderBy(F.xxhash64("doc_id")))
+
+    snap = t.snapshot()
+    multi_rg = 0
+    for f in snap["files"]:
+        pf = pq.ParquetFile(os.path.join(root, f["path"]))
+        md = pf.metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "event_seq"
+        )
+        bounds = [
+            (md.row_group(rg).column(idx).statistics.min,
+             md.row_group(rg).column(idx).statistics.max)
+            for rg in range(md.num_row_groups)
+        ]
+        for lo, hi in bounds:
+            assert lo <= hi
+        # row groups cover disjoint, ascending seq ranges
+        for (_, hi1), (lo2, _) in zip(bounds, bounds[1:]):
+            assert hi1 < lo2, bounds
+        if md.num_row_groups > 1:
+            multi_rg += 1
+        seqs = pf.read(columns=["event_seq"])["event_seq"].to_pylist()
+        assert seqs == sorted(seqs)
+    assert multi_rg == len(snap["files"])  # block sizing actually bit
+
+    # scan + filter equivalence unchanged by the sorted layout
+    got = _sorted_ids(t.scan([("event_seq", "between", (5000, 5100))]))
+    assert got == list(range(5000, 5101))
