@@ -31,6 +31,15 @@ VARIANTS = {
     "minimal": {"record_invalid": False, "skew_detect": False},
 }
 
+# table-spec arms (IceTable.create kwargs), selectable alongside the
+# pipeline arms above — added for the round-4 manifest-stats bisect
+TABLE_VARIANTS = {
+    # manifest footer stats off: the pre-30182b0 write path
+    "no_stats": {"stats_cols": []},
+    # z-order-lite on event_seq (NOT the bench default; cost check only)
+    "zorder_seq": {"sort_cols": ["event_seq"]},
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -50,7 +59,10 @@ def main():
         CdcPipeline,
     )
 
-    names = [v for v in args.variants.split(",") if v in VARIANTS]
+    names = [
+        v for v in args.variants.split(",")
+        if v in VARIANTS or v in TABLE_VARIANTS
+    ]
     workdir = tempfile.mkdtemp(prefix="efts_ab_")
     results: dict[str, list] = {n: [] for n in names}
     try:
@@ -64,8 +76,9 @@ def main():
                 table = IceTable.create(
                     spark, path, TARGET_SCHEMA, key="doc_id",
                     num_buckets=32, write_mode=args.mode,
+                    **TABLE_VARIANTS.get(name, {}),
                 )
-                pipe = CdcPipeline(spark, table, **VARIANTS[name])
+                pipe = CdcPipeline(spark, table, **VARIANTS.get(name, {}))
                 s0 = _proc_stat_sample()
                 t0 = time.time()
                 pipe.replay_chunks(chunks)
