@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -98,6 +99,11 @@ def _stats_bound(value, lower: bool):
     if isinstance(value, _dt.date):
         return value.isoformat(), "date"  # ISO order == lexicographic order
     return None, None
+
+
+# cumulative wall seconds spent harvesting footer stats in this process —
+# read by perf scripts to attribute replay cost to the manifest feature
+HARVEST_SECONDS = 0.0
 
 
 def _footer_column_stats(abs_path: str, cols: "list[str] | None"):
@@ -734,15 +740,36 @@ class IceTable:
                     entry = {"path": rel, "bucket": bucket, "schema_version": schema_version}
                     if delta:
                         entry["delta"] = True
-                    if stats_cols != []:
-                        rows, stats = _footer_column_stats(
-                            os.path.join(out_dir, bdir, fn),
-                            None if stats_cols == "auto" else stats_cols,
-                        )
-                        entry["rows"] = rows
-                        if stats:
-                            entry["stats"] = stats
                     entries.append(entry)
+        if stats_cols != [] and entries:
+            # harvest footers concurrently: each read is a small tail I/O
+            # and pyarrow releases the GIL around it, so a sequential loop
+            # serializes ~num_buckets reads per commit. On local disk the
+            # whole harvest is noise either way (0.26 s of a ~30 s
+            # 8M-event replay, measured via HARVEST_SECONDS — the
+            # manifest-stats A/B write-up in BENCH/NOTES.md round 4); the
+            # concurrency is for object stores, where these become the
+            # same ranged GETs an Iceberg committer issues per data file
+            # at ~10-100 ms each.
+            from concurrent.futures import ThreadPoolExecutor
+
+            global HARVEST_SECONDS
+            t0 = time.time()
+            want = None if stats_cols == "auto" else stats_cols
+            with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
+                harvested = list(
+                    ex.map(
+                        lambda e: _footer_column_stats(
+                            os.path.join(self.root, e["path"]), want
+                        ),
+                        entries,
+                    )
+                )
+            for entry, (rows, stats) in zip(entries, harvested):
+                entry["rows"] = rows
+                if stats:
+                    entry["stats"] = stats
+            HARVEST_SECONDS += time.time() - t0
         return entries
 
     def _remove_files(self, entries: list[dict]) -> None:
