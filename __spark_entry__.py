@@ -180,6 +180,57 @@ def q_cdc_merge_upsert(spark, sf_dir):
     return survivors.unionByName(untouched)
 
 
+def q_cdc_rebucket(spark, sf_dir):
+    """Bucket-count evolution end to end (lake/table.py::rebucket): the
+    first half of the stream lands in a 4-bucket merge-on-read table, a
+    metadata-only rebucket(8) commit changes the bucket count WITHOUT
+    rewriting data files, the second half merges across the boundary
+    (bucket-scoped ops widen bucket equality to the gcd residue test, so
+    legacy 4-bucket files keep pruning correctly), and migrate_buckets()
+    rewrites the stragglers. The final table state must equal plain
+    latest-per-key SQL over the whole stream with 'error' latests
+    dropped — physical bucket layout is invisible to merge semantics."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from embulk_filter_timestamp_format_spark.lake import IceTable
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long"),
+        F.col("event_id").cast("long"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def batch(df):
+        latest = dedup_latest(df, key="user_id", seq="event_id")
+        return latest.withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+
+    split = F.col("event_id") < 5000
+    root = tempfile.mkdtemp(prefix="efts_rebucket_")
+    table = IceTable.create(
+        spark, root + "/t", schema, key="user_id", seq="event_id",
+        num_buckets=4, write_mode="mor", compact_threshold=2, compact_jitter=0,
+    )
+    table.merge_into(batch(ev.filter(split)), batch_id=0)
+    table.rebucket(8)
+    table.merge_into(batch(ev.filter(~split)), batch_id=1)
+    table.migrate_buckets()
+    return table.read().select("user_id", "event_id", "event_type", "value")
+
+
 def q_cdc_changelog(spark, sf_dir):
     """Incremental changelog (CDF) semantics as a bounded query: diff the
     merged state before/after the second half of the stream — the same
@@ -796,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "cdc_dedup_latest": q_cdc_dedup_latest,
         "cdc_merge_upsert": q_cdc_merge_upsert,
+        "cdc_rebucket": q_cdc_rebucket,
         "cdc_changelog": q_cdc_changelog,
         "cdc_time_scan": q_cdc_time_scan,
         "cdc_lineage_stats": q_cdc_lineage_stats,
@@ -1181,6 +1233,14 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN u.op IS NOT NULL THEN u.value ELSE t.value END, 6) AS value
             FROM base t FULL OUTER JOIN upd u USING (user_id)
             WHERE NOT (u.op IS NOT NULL AND u.op = 'D')""",
+        # two batch merges with per-batch latest + error→delete reduce to
+        # latest-per-key over the whole stream with error latests dropped
+        # (a batch-1 delete on an absent key is a no-op; any later batch-2
+        # row supersedes it) — bucket layout never appears in the answer
+        "cdc_rebucket": """
+            SELECT user_id, event_id, event_type, round(value, 6) AS value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events) WHERE rn = 1 AND event_type <> 'error'""",
         # same state construction as cdc_merge_upsert; the changelog is
         # the seq-keyed diff of the two states (seq equality ⇔ unchanged)
         "cdc_changelog": """

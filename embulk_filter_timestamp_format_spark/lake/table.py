@@ -12,7 +12,7 @@ Snapshot JSON::
      "schema": <spark schema json>, "schema_version": K,
      "spec": {"key": "doc_id", "num_buckets": B},
      "files": [{"path": "data/..", "bucket": 7, "rows": 123,
-                "schema_version": K}],
+                "schema_version": K, "nbuckets": B_at_write_time}],
      "summary": {"batch_ids": {"<source>": <last applied batch id>},
                  "lineage": [...], "operation": "merge|append|evolve"}}
 
@@ -28,6 +28,11 @@ Guarantees (the Iceberg subset the north rule uses):
 * **schema evolution** — retype-in-place commits bump schema_version;
   old files are read with their original schema and cast-projected to
   the latest (the reference's buildOuputSchema rule applied lake-side).
+* **bucket evolution** — ``rebucket(M)`` changes the bucket count in a
+  metadata-only commit (Iceberg partition-spec evolution for the bucket
+  transform); old files keep their generation's bucketing and every
+  bucket-scoped op widens to the gcd residue test; churn migrates files
+  lazily, ``migrate_buckets()`` finishes the job explicitly.
 * **copy-on-write MERGE by bucket** — only buckets containing updated
   keys are rewritten; cost ∝ touched data, never table size. Bucket
   count is the merge-parallelism knob at cluster scale.
@@ -46,6 +51,7 @@ Guarantees (the Iceberg subset the north rule uses):
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 import uuid
@@ -213,6 +219,69 @@ class CommitConflict(Exception):
 
 
 MAX_COMMIT_RETRIES = 5
+
+
+# ----------------------------------------------------------------------
+# bucket-generation arithmetic (rebucket support)
+#
+# A data file written when the table had N buckets holds exactly the keys
+# with xxhash64(key) % N == file.bucket. After `rebucket(M)` the CURRENT
+# bucket of such a key is xxhash64(key) % M — and by the Chinese remainder
+# theorem a residue pair (b mod N, nb mod M) is jointly satisfiable iff
+# b ≡ nb (mod gcd(N, M)). Old files therefore never need rewriting: every
+# bucket-scoped operation just widens "bucket == b" to this residue test.
+# When M is a multiple of N (the recommended growth shape) gcd = N and an
+# old file covers exactly M/N current buckets — pruning keeps full
+# precision within the old granularity. Entries record the bucket count
+# they were written under in ``nbuckets`` (absent = the owning snapshot's
+# spec count, which is how pre-rebucket snapshots stay self-consistent
+# for time travel).
+# ----------------------------------------------------------------------
+
+
+def _entry_gen(entry: dict, default_n: int) -> int:
+    """Bucket count `entry` was written under."""
+    return entry.get("nbuckets", default_n)
+
+
+def _entry_covers(entry: dict, bucket: int, m: int, default_n: int) -> bool:
+    """May `entry` hold keys whose CURRENT bucket (mod `m`) is `bucket`?"""
+    n = _entry_gen(entry, default_n)
+    if n == m:
+        return entry["bucket"] == bucket
+    return (entry["bucket"] - bucket) % math.gcd(n, m) == 0
+
+
+def _entry_buckets(entry: dict, m: int, default_n: int) -> set:
+    """All current buckets (mod `m`) that `entry` may hold keys of."""
+    n = _entry_gen(entry, default_n)
+    if n == m:
+        return {entry["bucket"]}
+    g = math.gcd(n, m)
+    return set(range(entry["bucket"] % g, m, g))
+
+
+def _files_covering(files: list, buckets: set, m: int, default_n: int) -> list:
+    return [
+        f for f in files
+        if any(_entry_covers(f, b, m, default_n) for b in buckets)
+    ]
+
+
+def _bucket_closure(files: list, buckets: set, m: int, default_n: int) -> set:
+    """Smallest superset of `buckets` closed under whole-file coverage:
+    any file overlapping the set is wholly inside it. Rewrites that
+    replace files bucket-by-bucket must operate on a closed set, or a
+    multi-bucket legacy file's rows for the OTHER buckets would be lost
+    with it. Fixpoint terminates in ≤ #generations rounds."""
+    out = set(buckets)
+    while True:
+        cov: set = set()
+        for f in _files_covering(files, out, m, default_n):
+            cov |= _entry_buckets(f, m, default_n)
+        if cov <= out:
+            return out
+        out |= cov
 
 
 def changelog_diff(
@@ -514,24 +583,45 @@ class IceTable:
         snap: dict,
         buckets: "set[int] | None" = None,
         schema: "T.StructType | None" = None,
+        bucket_space: "int | None" = None,
     ) -> DataFrame:
         """Materialized state of a snapshot (MOR base+delta merge applied),
         optionally restricted to ``buckets`` and cast-projected to an
         override ``schema`` (used by changes() to diff across a schema
-        evolution in the TO version's shape)."""
+        evolution in the TO version's shape). ``bucket_space`` is the
+        modulus the ``buckets`` ids live in (default: this snapshot's own
+        bucket count) — changes() passes the TO version's count so a diff
+        across a rebucket speaks one bucket language.
+
+        When the selection includes a file from an older bucket
+        generation (pre-rebucket), that file also carries rows of buckets
+        OUTSIDE the selection; a row-level residue filter drops them
+        BEFORE the MOR merge so a partial file set never fabricates a
+        stale merged row."""
         schema = schema if schema is not None else T.StructType.fromJson(snap["schema"])
+        spec = snap["spec"]
         files = snap["files"]
+        row_filter = None
         if buckets is not None:
-            files = [f for f in files if f["bucket"] in buckets]
+            default_n = spec["num_buckets"]
+            m = bucket_space if bucket_space is not None else default_n
+            files = _files_covering(files, buckets, m, default_n)
+            if any(_entry_gen(f, default_n) != m for f in files):
+                row_filter = self._bucket_expr(spec["key"], m).isin(
+                    [int(b) for b in sorted(buckets)]
+                )
         if not files:
             return self.spark.createDataFrame([], schema)
         base_files = [f for f in files if not f.get("delta")]
         delta_files = [f for f in files if f.get("delta")]
         base = self._read_projected(base_files, schema)
+        if base is not None and row_filter is not None:
+            base = base.filter(row_filter)
         if not delta_files:
             return base if base is not None else self.spark.createDataFrame([], schema)
         deltas = self._read_projected(delta_files, schema, with_op=True)
-        spec = snap["spec"]
+        if row_filter is not None:
+            deltas = deltas.filter(row_filter)
         return self._merge_mor(base, deltas, spec["key"], spec.get("seq", "event_seq"))
 
     def scan(
@@ -581,12 +671,16 @@ class IceTable:
 
         has_delta = any(f.get("delta") for f in files)
         if has_delta:
-            buckets = {f["bucket"] for f in files}
-            kept = {
-                f["bucket"] for f in files if may_match(f)
-            }
+            default_n = snap["spec"]["num_buckets"]
+            buckets: set = set()
+            kept: set = set()
+            for f in files:
+                cov = _entry_buckets(f, default_n, default_n)
+                buckets |= cov
+                if may_match(f):
+                    kept |= cov
             out = self._read_state(snap, buckets=kept)
-            read_count = sum(1 for f in files if f["bucket"] in kept)
+            read_count = len(_files_covering(files, kept, default_n, default_n))
             self.last_scan_info = {
                 "files_total": len(files),
                 "files_read": read_count,
@@ -645,29 +739,38 @@ class IceTable:
             raise ValueError(
                 f"to_version {snap2['version']} precedes from_version {snap1['version']}"
             )
-        by_bucket1: dict[int, set] = {}
-        for f in snap1["files"]:
-            by_bucket1.setdefault(f["bucket"], set()).add(f["path"])
-        by_bucket2: dict[int, set] = {}
-        for f in snap2["files"]:
-            by_bucket2.setdefault(f["bucket"], set()).add(f["path"])
-        churned = {
-            b
-            for b in set(by_bucket1) | set(by_bucket2)
-            if by_bucket1.get(b, set()) != by_bucket2.get(b, set())
-        }
-        schema = T.StructType.fromJson(snap2["schema"])
+        # a bucket's state can only have changed if some file covering it
+        # was added or removed between the snapshots; coverage is computed
+        # in the TO version's bucket space so the diff survives a rebucket
+        # commit in between (a rebucket itself moves no paths → no churn)
         spec = snap2["spec"]
-        old = self._read_state(snap1, buckets=churned, schema=schema)
+        m = spec["num_buckets"]
+        n1 = snap1["spec"]["num_buckets"]
+        paths1 = {f["path"]: f for f in snap1["files"]}
+        paths2 = {f["path"]: f for f in snap2["files"]}
+        churned: set = set()
+        for p in set(paths1).symmetric_difference(paths2):
+            if p in paths1:
+                churned |= _entry_buckets(paths1[p], m, n1)
+            else:
+                churned |= _entry_buckets(paths2[p], m, m)
+        schema = T.StructType.fromJson(snap2["schema"])
+        old = self._read_state(snap1, buckets=churned, schema=schema, bucket_space=m)
         new = self._read_state(snap2, buckets=churned)
         return changelog_diff(
             old, new, spec["key"], spec.get("seq", "event_seq"), broadcast_keys
         )
 
     def _read_buckets(self, snap: dict, buckets: set[int]) -> "DataFrame | None":
+        """Full contents of the base files covering ``buckets`` (caller
+        must pass a coverage-CLOSED set when rewriting — see
+        _bucket_closure)."""
+        n = snap["spec"]["num_buckets"]
         schema = T.StructType.fromJson(snap["schema"])
         return self._read_projected(
-            [f for f in snap["files"] if f["bucket"] in buckets and not f.get("delta")],
+            _files_covering(
+                [f for f in snap["files"] if not f.get("delta")], buckets, n, n
+            ),
             schema,
         )
 
@@ -737,7 +840,12 @@ class IceTable:
                     rel = os.path.relpath(
                         os.path.join(out_dir, bdir, fn), self.root
                     )
-                    entry = {"path": rel, "bucket": bucket, "schema_version": schema_version}
+                    entry = {
+                        "path": rel,
+                        "bucket": bucket,
+                        "schema_version": schema_version,
+                        "nbuckets": num_buckets,
+                    }
                     if delta:
                         entry["delta"] = True
                     entries.append(entry)
@@ -865,6 +973,12 @@ class IceTable:
             }
             if not touched:
                 return None  # empty batch: no commit (re-delivery is a no-op anyway)
+            # pre-rebucket files span several current buckets; a rewrite
+            # replaces whole files, so close the touched set over file
+            # coverage (their unrelated rows are then carried through the
+            # merge and land in current-generation files — rebucket
+            # migration happens lazily, churn-by-churn)
+            touched = _bucket_closure(snap["files"], touched, num_buckets, num_buckets)
             target = self._read_buckets(snap, touched)
 
             # MERGE = (target rows whose key is NOT updated)  ∪  (upserts).
@@ -934,10 +1048,14 @@ class IceTable:
             if not entries:
                 return None  # empty batch: nothing to merge, nothing to commit
 
+            # read amplification per CURRENT bucket = delta files covering
+            # it (a pre-rebucket delta file counts toward every bucket it
+            # spans — it is read for each of them)
             chain: dict[int, int] = {}
             for f in snap["files"]:
                 if f.get("delta"):
-                    chain[f["bucket"]] = chain.get(f["bucket"], 0) + 1
+                    for b in _entry_buckets(f, num_buckets, num_buckets):
+                        chain[b] = chain.get(b, 0) + 1
             for e in entries:
                 chain[e["bucket"]] = chain.get(e["bucket"], 0) + 1
             compact = {
@@ -945,16 +1063,34 @@ class IceTable:
                 for b, c in chain.items()
                 if c > self.bucket_compact_threshold(spec, b)
             }
-
+            removed_paths: set = set()
             comp_entries: list[dict] = []
             if compact:
+                # compaction replaces whole files → closed set (see
+                # _bucket_closure); this also lazily migrates legacy-
+                # generation files it touches to the current bucketing
+                all_files = snap["files"] + entries
+                compact = _bucket_closure(
+                    all_files, compact, num_buckets, num_buckets
+                )
+                removed_paths = {
+                    f["path"]
+                    for f in _files_covering(
+                        all_files, compact, num_buckets, num_buckets
+                    )
+                }
                 base = self._read_projected(
-                    [f for f in snap["files"] if not f.get("delta") and f["bucket"] in compact],
+                    [
+                        f for f in snap["files"]
+                        if not f.get("delta") and f["path"] in removed_paths
+                    ],
                     schema,
                 )
                 deltas = self._read_projected(
-                    [f for f in snap["files"] if f.get("delta") and f["bucket"] in compact]
-                    + [e for e in entries if e["bucket"] in compact],
+                    [
+                        f for f in list(snap["files"]) + entries
+                        if f.get("delta") and f["path"] in removed_paths
+                    ],
                     schema,
                     with_op=True,
                 )
@@ -965,8 +1101,8 @@ class IceTable:
 
             new = self._child(snap, "merge")
             new["files"] = (
-                [f for f in snap["files"] if f["bucket"] not in compact]
-                + [e for e in entries if e["bucket"] not in compact]
+                [f for f in snap["files"] if f["path"] not in removed_paths]
+                + [e for e in entries if e["path"] not in removed_paths]
                 + comp_entries
             )
             if batch_id is not None:
@@ -980,7 +1116,9 @@ class IceTable:
                 if compact:
                     # the fresh deltas of compacted buckets were folded into
                     # the new base files and never referenced — drop them
-                    self._remove_files([e for e in entries if e["bucket"] in compact])
+                    self._remove_files(
+                        [e for e in entries if e["path"] in removed_paths]
+                    )
                 return new["version"]
             except CommitConflict:
                 self._remove_files(entries + comp_entries)
@@ -1002,12 +1140,16 @@ class IceTable:
         """Commit `entries` replacing `touched` buckets; retries across
         DISJOINT concurrent commits, returns None when a conflicting
         commit overlapped the touched buckets (caller must recompute)."""
+        num_buckets = snap["spec"]["num_buckets"]
         base_touched_files = {
-            f["path"] for f in snap["files"] if f["bucket"] in touched
+            f["path"]
+            for f in _files_covering(snap["files"], touched, num_buckets, num_buckets)
         }
         for _ in range(MAX_COMMIT_RETRIES):
             new = self._child(snap, "merge")
-            new["files"] = [f for f in snap["files"] if f["bucket"] not in touched] + entries
+            new["files"] = [
+                f for f in snap["files"] if f["path"] not in base_touched_files
+            ] + entries
             if batch_id is not None:
                 new["summary"]["batch_ids"][source] = batch_id
             if lineage is not None:
@@ -1020,8 +1162,13 @@ class IceTable:
                 if batch_id is not None and self._fenced(latest, source, batch_id):
                     self._remove_files(entries)  # a twin already applied it
                     return latest["version"]
+                if latest["spec"]["num_buckets"] != num_buckets:
+                    return None  # concurrent rebucket — recompute in the new space
                 latest_touched_files = {
-                    f["path"] for f in latest["files"] if f["bucket"] in touched
+                    f["path"]
+                    for f in _files_covering(
+                        latest["files"], touched, num_buckets, num_buckets
+                    )
                 }
                 if latest_touched_files != base_touched_files:
                     return None  # overlapping writer won — recompute
@@ -1041,26 +1188,42 @@ class IceTable:
         for _ in range(MAX_COMMIT_RETRIES):
             snap = self.snapshot()
             spec = snap["spec"]
-            delta_buckets = {f["bucket"] for f in snap["files"] if f.get("delta")}
+            m = spec["num_buckets"]
+            delta_buckets: set = set()
+            for f in snap["files"]:
+                if f.get("delta"):
+                    delta_buckets |= _entry_buckets(f, m, m)
             todo = delta_buckets if buckets is None else delta_buckets & set(buckets)
             if not todo:
                 return None
+            todo = _bucket_closure(snap["files"], todo, m, m)
+            removed_paths = {
+                f["path"] for f in _files_covering(snap["files"], todo, m, m)
+            }
             schema = T.StructType.fromJson(snap["schema"])
             base = self._read_projected(
-                [f for f in snap["files"] if not f.get("delta") and f["bucket"] in todo],
+                [
+                    f for f in snap["files"]
+                    if not f.get("delta") and f["path"] in removed_paths
+                ],
                 schema,
             )
             deltas = self._read_projected(
-                [f for f in snap["files"] if f.get("delta") and f["bucket"] in todo],
+                [
+                    f for f in snap["files"]
+                    if f.get("delta") and f["path"] in removed_paths
+                ],
                 schema,
                 with_op=True,
             )
             merged = self._merge_mor(base, deltas, spec["key"], spec.get("seq", "event_seq"))
             entries = self._write_data_files(
-                merged, spec["key"], spec["num_buckets"], snap["schema_version"]
+                merged, spec["key"], m, snap["schema_version"]
             )
             new = self._child(snap, "compact")
-            new["files"] = [f for f in snap["files"] if f["bucket"] not in todo] + entries
+            new["files"] = [
+                f for f in snap["files"] if f["path"] not in removed_paths
+            ] + entries
             new["summary"]["compacted_buckets"] = sorted(todo)
             try:
                 self._write_snapshot(new)
@@ -1131,6 +1294,85 @@ class IceTable:
                 os.remove(full)
                 n_files += 1
         return {"snapshots": n_snaps, "files": n_files, "bytes": n_bytes}
+
+    def rebucket(self, new_num_buckets: int) -> int:
+        """Metadata-only bucket-count evolution (operation='rebucket'):
+        change ``spec.num_buckets`` WITHOUT rewriting any data file — the
+        10^10-row growth path, where a table created with 64 buckets needs
+        4,096 before any single bucket outgrows an executor.
+
+        Existing files are stamped with the bucket count they were written
+        under; every bucket-scoped operation (merge pruning, changelog
+        churn, scan skipping, compaction) widens exact bucket equality to
+        the residue test ``old_bucket ≡ new_bucket (mod gcd(old_n, new_n))``
+        — see the module notes above _entry_covers. Growth by an integer
+        MULTIPLE keeps pruning at the old granularity immediately and
+        full granularity as rewrites lazily migrate files; a non-multiple
+        count is permitted but degrades pruning to gcd granularity until
+        ``migrate_buckets`` (or churn) rewrites the legacy files.
+
+        Iceberg parity: bucket-transform partition-spec evolution
+        (`PartitionSpec` evolution API) — same contract: old files keep
+        their old spec, new writes use the new one, metadata-only commit.
+        """
+        if not isinstance(new_num_buckets, int) or new_num_buckets <= 0:
+            raise ValueError(f"num_buckets must be a positive int, got {new_num_buckets!r}")
+        snap = self.snapshot()
+        old_n = snap["spec"]["num_buckets"]
+        if new_num_buckets == old_n:
+            return snap["version"]
+        new = self._child(snap, "rebucket")
+        new["spec"] = dict(snap["spec"], num_buckets=new_num_buckets)
+        new["files"] = [
+            {**f, "nbuckets": _entry_gen(f, old_n)} for f in snap["files"]
+        ]
+        new["summary"]["rebucket"] = {"from": old_n, "to": new_num_buckets}
+        self._write_snapshot(new)
+        return new["version"]
+
+    def migrate_buckets(self, max_files: "int | None" = None) -> "int | None":
+        """Rewrite files of older bucket generations into the current
+        bucketing (operation='migrate') — the maintenance endgame of
+        ``rebucket``. State-invariant: base files are re-split as base
+        files, delta files as delta files (``__op`` preserved), so
+        ``changes()`` across the commit is empty. ``max_files`` bounds one
+        pass for incremental migration of a huge table. Returns the
+        committed version, or None when every file is already current."""
+        for _ in range(MAX_COMMIT_RETRIES):
+            snap = self.snapshot()
+            spec = snap["spec"]
+            m = spec["num_buckets"]
+            legacy = [f for f in snap["files"] if _entry_gen(f, m) != m]
+            if max_files is not None:
+                legacy = legacy[:max_files]
+            if not legacy:
+                return None
+            schema = T.StructType.fromJson(snap["schema"])
+            entries: list[dict] = []
+            base_sel = [f for f in legacy if not f.get("delta")]
+            delta_sel = [f for f in legacy if f.get("delta")]
+            if base_sel:
+                entries += self._write_data_files(
+                    self._read_projected(base_sel, schema),
+                    spec["key"], m, snap["schema_version"],
+                )
+            if delta_sel:
+                entries += self._write_data_files(
+                    self._read_projected(delta_sel, schema, with_op=True),
+                    spec["key"], m, snap["schema_version"], delta=True,
+                )
+            legacy_paths = {f["path"] for f in legacy}
+            new = self._child(snap, "migrate")
+            new["files"] = [
+                f for f in snap["files"] if f["path"] not in legacy_paths
+            ] + entries
+            new["summary"]["migrated_files"] = len(legacy)
+            try:
+                self._write_snapshot(new)
+                return new["version"]
+            except CommitConflict:
+                self._remove_files(entries)  # recompute against the winner
+        raise CommitConflict(f"migrate_buckets lost {MAX_COMMIT_RETRIES} commit races")
 
     def evolve_schema(self, new_schema: T.StructType) -> int:
         """Retype-in-place / add-column schema evolution commit. Existing

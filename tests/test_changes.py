@@ -91,9 +91,9 @@ def test_changes_reads_only_churned_buckets(spark, tmp_path, monkeypatch):
     seen = []
     orig = IceTable._read_state
 
-    def spy(self, snap, buckets=None, schema=None):
+    def spy(self, snap, buckets=None, schema=None, **kw):
         seen.append(buckets)
-        return orig(self, snap, buckets=buckets, schema=schema)
+        return orig(self, snap, buckets=buckets, schema=schema, **kw)
 
     monkeypatch.setattr(IceTable, "_read_state", spy)
     got = {r["doc_id"]: r["_change_type"] for r in table.changes(v1, v2).collect()}
