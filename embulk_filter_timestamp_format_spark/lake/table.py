@@ -53,6 +53,8 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
+import shutil
 import time
 import uuid
 
@@ -1265,6 +1267,10 @@ class IceTable:
         """
         import time
 
+        if self.branch_name is not None:
+            raise ValueError(
+                "expire_snapshots runs on the main handle (it owns data/)"
+            )
         vs = self.versions()
         keep = set(vs[-max(keep_last, 1):])
         referenced: set[str] = set()
@@ -1275,6 +1281,12 @@ class IceTable:
                 referenced |= paths
             else:
                 expired_refs |= paths
+        # live branches pin their files: a WAP branch older than the
+        # orphan grace window must survive until published or dropped
+        for bn in self.list_branches():
+            b = self._branch_handle(bn)
+            for v in b.versions():
+                referenced |= {f["path"] for f in b.snapshot(v)["files"]}
         n_snaps = 0
         for v in vs:
             if v not in keep:
@@ -1421,3 +1433,129 @@ class IceTable:
 
     def last_batch_id(self, source: str = "default") -> "int | None":
         return self.snapshot()["summary"].get("batch_ids", {}).get(source)
+
+    # ------------------------------------------------------------------
+    # branches: write-audit-publish
+    # ------------------------------------------------------------------
+    #
+    # The Iceberg WAP (write-audit-publish) staging pattern, branch-ref
+    # style: ingest lands on an isolated branch, audits run against the
+    # branch state, and a metadata-only fast-forward makes it visible on
+    # main — or the branch is dropped and GC reclaims its files. A branch
+    # is an IceTable handle whose snapshot log lives under
+    # metadata/branches/<name>/ while DATA files share the table's data/
+    # dir (uuid-dir writes never collide), so every existing operation —
+    # merge_into with fencing, MOR compaction, changes(), scan pruning,
+    # even rebucket/evolve_schema — works on a branch unmodified. At
+    # 10^10-row scale nothing here copies data: fork, publish, and drop
+    # are all O(metadata).
+
+    @property
+    def branch_name(self) -> "str | None":
+        """This handle's branch name, or None for the main table."""
+        return getattr(self, "_branch_name", None)
+
+    def _branches_dir(self) -> str:
+        return os.path.join(self.root, "metadata", "branches")
+
+    def _branch_handle(self, name: str) -> "IceTable":
+        b = IceTable(self.spark, self.root)
+        b.meta_dir = os.path.join(self._branches_dir(), name)
+        b._branch_name = name
+        return b
+
+    def list_branches(self) -> list[str]:
+        d = self._branches_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n))
+        )
+
+    def create_branch(self, name: str) -> "IceTable":
+        """Fork a branch at the current version (operation='branch') —
+        the W of write-audit-publish. O(1): copies one snapshot dict into
+        the branch's log; no data movement. The returned handle supports
+        the full write surface; main readers never see branch commits."""
+        if self.branch_name is not None:
+            raise ValueError("cannot branch from a branch; use the main handle")
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name or ""):
+            raise ValueError(f"invalid branch name {name!r}")
+        b = self._branch_handle(name)
+        if b.current_version() is not None:
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(b.meta_dir, exist_ok=True)
+        snap = self.snapshot()
+        fork = dict(snap)
+        fork["summary"] = dict(
+            snap["summary"], operation="branch", branch_of=snap["version"]
+        )
+        b._write_snapshot(fork)  # same version number = the fork point
+        return b
+
+    def branch(self, name: str) -> "IceTable":
+        """Handle for an existing branch."""
+        b = self._branch_handle(name)
+        if b.current_version() is None:
+            raise FileNotFoundError(f"no branch {name!r} at {self.root}")
+        return b
+
+    def publish_branch(self, name: str, drop: bool = True) -> int:
+        """Fast-forward publish (the P of write-audit-publish): commit the
+        branch HEAD's state as the next MAIN version, metadata-only.
+
+        Squash semantics: one main commit carrying the branch head's
+        files/spec/schema AND its batch-id fences — ``changes()`` across
+        the publish is the branch's net churn since the fork (state
+        diff), and redelivering an already-staged batch to main after
+        publish is a fenced no-op, so exactly-once survives the publish.
+
+        Fast-forward ONLY: if main advanced past the fork point, the
+        audit validated a stale base — raises :class:`CommitConflict`;
+        re-branch and re-apply (staged batches are fenced per source, so
+        re-applying them to a fresh branch is idempotent). A concurrent
+        publisher racing for the same main version loses on the
+        exclusive-create commit, same as any writer."""
+        if self.branch_name is not None:
+            raise ValueError("publish from the main handle")
+        b = self.branch(name)
+        head = b.snapshot()
+        fork_v = min(b.versions())
+        cur = self.current_version()
+        if cur != fork_v:
+            raise CommitConflict(
+                f"main advanced {fork_v} -> {cur} since branch {name!r} "
+                "forked; audit is stale — re-branch and re-apply"
+            )
+        if head["version"] == fork_v:  # nothing staged
+            if drop:
+                self.drop_branch(name)
+            return cur
+        new = {
+            "version": cur + 1,
+            "parent": cur,
+            "schema": head["schema"],
+            "schema_version": head["schema_version"],
+            "spec": head["spec"],
+            "files": head["files"],
+            "summary": {
+                "batch_ids": dict(head["summary"].get("batch_ids", {})),
+                "lineage": head["summary"].get("lineage", []),
+                "operation": "publish",
+                "branch": name,
+                "branch_head": head["version"],
+            },
+        }
+        self._write_snapshot(new)
+        if drop:
+            self.drop_branch(name)
+        return new["version"]
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch (the audit-failed path). Metadata goes now;
+        branch-only data files become unreferenced and fall to
+        ``expire_snapshots``'s orphan scan after the grace window."""
+        if self.branch_name is not None:
+            raise ValueError("drop from the main handle")
+        b = self.branch(name)
+        shutil.rmtree(b.meta_dir)
