@@ -456,7 +456,12 @@ class IceTable:
             return None
         return max(versions) if versions else None
 
-    def snapshot(self, version: "int | None" = None) -> dict:
+    def snapshot(self, version: "int | None | str" = None) -> dict:
+        """Snapshot by version number, by TAG NAME (str), or the current
+        one — every versioned entry point (read / scan / changes / time
+        travel) funnels through here, so tags work everywhere versions do."""
+        if isinstance(version, str):
+            version = self.tag_version(version)
         v = version if version is not None else self.current_version()
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
             return json.load(f)
@@ -1273,6 +1278,9 @@ class IceTable:
             )
         vs = self.versions()
         keep = set(vs[-max(keep_last, 1):])
+        # tagged versions are pinned: snapshot file and data files both
+        # survive until the tag is dropped
+        keep |= {v for v in self.list_tags().values() if v in set(vs)}
         referenced: set[str] = set()
         expired_refs: set[str] = set()
         for v in vs:
@@ -1559,3 +1567,66 @@ class IceTable:
             raise ValueError("drop from the main handle")
         b = self.branch(name)
         shutil.rmtree(b.meta_dir)
+
+    # ------------------------------------------------------------------
+    # tags: named immutable snapshot refs
+    # ------------------------------------------------------------------
+    #
+    # Iceberg-style tags: a tag pins a committed version under a stable
+    # name ("training-run-2026-08", "audited") so readers can address it
+    # without version-number bookkeeping, and ``expire_snapshots`` keeps
+    # the pinned snapshot AND its data files alive past the retention
+    # horizon until the tag is dropped. Tags are immutable (exclusive
+    # create — re-pointing a tag is drop + create, two deliberate steps)
+    # and O(metadata): one tiny JSON file per tag under the handle's own
+    # meta dir, so branch handles get independent tag namespaces for free.
+
+    def _tags_dir(self) -> str:
+        return os.path.join(self.meta_dir, "tags")
+
+    def create_tag(self, name: str, version: "int | None" = None) -> int:
+        """Pin ``version`` (default: current) under ``name``. Returns the
+        pinned version. Exclusive-create makes concurrent taggers race
+        safely — one wins, the rest get the error."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name or ""):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.current_version() if version is None else version
+        if v is None or v not in set(self.versions()):
+            raise ValueError(f"no committed version {v} to tag")
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        try:
+            with open(os.path.join(self._tags_dir(), name + ".json"), "x") as f:
+                json.dump({"version": v}, f)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists (tags are immutable: "
+                "drop_tag then re-create to re-point)"
+            ) from None
+        return v
+
+    def tag_version(self, name: str) -> int:
+        try:
+            with open(os.path.join(self._tags_dir(), name + ".json")) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            raise FileNotFoundError(f"no tag {name!r} at {self.root}") from None
+
+    def list_tags(self) -> dict:
+        """{name: pinned version}, name-sorted."""
+        d = self._tags_dir()
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out[fn[:-5]] = json.load(f)["version"]
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        """Unpin — the version falls back under normal retention at the
+        next ``expire_snapshots``."""
+        try:
+            os.remove(os.path.join(self._tags_dir(), name + ".json"))
+        except FileNotFoundError:
+            raise FileNotFoundError(f"no tag {name!r} at {self.root}") from None

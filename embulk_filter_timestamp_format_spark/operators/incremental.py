@@ -220,7 +220,14 @@ def incremental_dedup_pass(
     # a doc can be BOTH changed and dropped in the same pass (new dup):
     # keep the delete row (max op priority per id via anti-join)
     sk_batch = sk_up.join(sk_del_ids, id_col, "left_anti").unionByName(sk_del)
-    sketch_version = sketch.merge_into(sk_batch, batch_id=batch_id, source=source)
+    # the batch's key set is exactly changed ∪ deleted ∪ drops — all
+    # slim, already-materialized frames; probing with them spares
+    # merge_into from executing the (anti-join ∪ tombstone) batch plan
+    # a second time just to learn the touched buckets
+    sk_probe = touched.unionByName(drops)
+    sketch_version = sketch.merge_into(
+        sk_batch, batch_id=batch_id, source=source, probe_df=sk_probe
+    )
     new_sigs.unpersist()
     drops.unpersist()
     ch.unpersist()
