@@ -176,10 +176,12 @@ def incremental_dedup_pass(
         .distinct()
     )
     state = corpus.read(to_version)
+    # persist: both pair sides (id_a and id_b joins) read this frame —
+    # uncached, the corpus scan + shingle extraction would run twice
     cand_sh = (
         state.join(F.broadcast(ids), id_col)
         .select(F.col(id_col), shingle_keys(F.col(text_col), n).alias("sh"))
-    )
+    ).persist()
     pairs = cand.join(
         cand_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(
@@ -194,7 +196,24 @@ def incremental_dedup_pass(
     # candidate generation + verify end-to-end.
     drops = verified.select(F.col("id_b").alias(id_col)).distinct().persist()
     drops.count()
-    corpus_deletes = state.join(F.broadcast(drops), id_col).withColumn("op", F.lit("D"))
+    # the merge reads only (key, seq) of a D row — COW anti-joins on the
+    # key, a MOR tombstone ties the victim's (key, seq) and wins by op
+    # priority — so join drops against a column-pruned projection and
+    # null the rest: the corpus TEXT is never re-read just to delete it
+    corpus_deletes = (
+        state.select(id_col, seq_col)
+        .join(F.broadcast(drops), id_col)
+        .select(
+            id_col,
+            seq_col,
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in state.schema.fields
+                if f.name not in (id_col, seq_col)
+            ],
+        )
+        .withColumn("op", F.lit("D"))
+    )
     # probe_df: the touched keys ARE the drop set — saves merge_into's
     # bucket probe from executing the delete-batch plan a second time
     corpus_version = corpus.merge_into(
@@ -229,6 +248,7 @@ def incremental_dedup_pass(
         sk_batch, batch_id=batch_id, source=source, probe_df=sk_probe
     )
     new_sigs.unpersist()
+    cand_sh.unpersist()
     drops.unpersist()
     ch.unpersist()
     return {

@@ -39,6 +39,7 @@ def dedup_pass(
     table,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seq_col: str = "event_seq",
     threshold: float = 0.8,
     batch_id: "int | None" = None,
     source: str = "maintenance",
@@ -80,9 +81,27 @@ def dedup_pass(
         # keep='min': drop ids = distinct larger side of any pair (slim
         # two-column shuffle; the wide payload joins back only below)
         drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    # the delete batch carries the dropped rows' own payload/seq: in COW
-    # the key-match deletes; in MOR the tombstone ties the base row's
-    # (key, seq) and wins by side-priority (delta-D = highest class)
-    deletes = df.join(drops, id_col).withColumn("op", F.lit("D"))
+    # the merge reads only (key, seq) of a D row: in COW the key-match
+    # deletes; in MOR the tombstone ties the base row's (key, seq) and
+    # wins by side-priority (delta-D = highest class). So the drop ids
+    # join back against a projection pruned to those two columns and the
+    # rest of the payload rides as typed NULLs — at corpus scale the
+    # delete batch never re-reads the text it is deleting (changes()
+    # still reports delete PREIMAGES: it diffs snapshot read states, not
+    # tombstone payloads).
+    slim = [c for c in (id_col, seq_col) if c in df.columns]
+    deletes = (
+        df.select(*slim)
+        .join(drops, id_col)
+        .select(
+            *slim,
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in df.schema.fields
+                if f.name not in slim
+            ],
+        )
+        .withColumn("op", F.lit("D"))
+    )
     committed = table.merge_into(deletes, batch_id=batch_id, source=source)
     return {"from_version": from_version, "committed_version": committed}
