@@ -440,6 +440,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-then-prune semantic dedup
+    (operators/similarity.py::semantic_dedup): nearest hash-sampled
+    centroid per embedding (the shared IVF build), within-cluster
+    cosine pairs only, keep-min survivors. Deterministic end to end —
+    the SQL oracle reproduces centroid pick, round-6 assignment and the
+    dup set exactly."""
+    return S.semantic_dedup(
+        _emb(spark, sf_dir), threshold=0.4, centroid_stride=32
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs — exact all-pairs verification
     baseline (oracle-checkable) over a bounded sample (vec_id < 1000:
@@ -860,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_neardup": q_embedding_neardup,
         "corpus_dedup_pass": q_corpus_dedup_pass,
         "incremental_dedup": q_incremental_dedup,
@@ -1473,6 +1486,22 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                          ORDER BY {_cos_sql('qv', 'nv')} DESC, neighbor_id ASC) AS rank
               FROM cand) WHERE rank <= 5""",
+        # semantic_dedup: the full SemDeDup pipeline in SQL — same
+        # centroid sample + round-6 argmax assignment as ann_ivf_topk,
+        # then within-cluster pairs and keep-min survivors.
+        "semantic_dedup": f"""
+            WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                       WHERE (('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT) % 32 = 0),
+            a AS (SELECT vec_id, embedding, cid FROM (
+                    SELECT e.vec_id, e.embedding, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid ASC) AS rn
+                    FROM embeddings e, c) WHERE rn = 1),
+            d AS (SELECT DISTINCT y.vec_id AS dup
+                  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                  WHERE {_cos_sql('x.embedding', 'y.embedding')} >= 0.4)
+            SELECT a.vec_id, a.cid AS cluster_id, (d.dup IS NULL) AS keep
+            FROM a LEFT JOIN d ON d.dup = a.vec_id""",
         # multimodal_features: the Spark side builds REAL binary PPM (P6)
         # payloads (header + tiled utf-8 bytes) and decodes them with a
         # pure-Python netpbm parser; the oracle recomputes every pixel

@@ -115,6 +115,56 @@ def ivf_topk(
     nprobe (= 1.0 when nprobe ≥ num centroids)."""
     from pyspark.sql.window import Window
 
+    base, cents, assigned = _ivf_assign(
+        df, centroid_stride, id_col, vec_col, persist_intermediate
+    )
+
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    qsim = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (F.col("_qnrm") * F.col("_cnrm")), 6
+    )
+    qc = q.join(cents).select("query_id", "qv", "_qnrm", "cid", qsim.alias("csim"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "_qnrm", "cid")
+    )
+
+    cand = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sim = F.round(
+        _dot(F.col("qv"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm")), 6
+    )
+    scored = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _ivf_assign(
+    df: DataFrame,
+    centroid_stride: int,
+    id_col: str,
+    vec_col: str,
+    persist_intermediate: bool,
+):
+    """The IVF build stage shared by ``ivf_topk`` (probe path) and
+    ``semantic_dedup`` (prune path): returns ``(base, cents, assigned)``
+    — the persisted (id, vector, staged norm) table, the broadcast
+    deterministic hash-sampled centroid table (with the empty-sample
+    fallback folded into the plan), and the per-row nearest-centroid
+    assignment carrying (id, vector, _nrm, cid)."""
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
     # norms staged once per row / per centroid BELOW the assignment cross
     # join — otherwise every (row, centroid) pair recomputes both HOF
@@ -173,42 +223,65 @@ def ivf_topk(
         .groupBy(id_col)
         .agg(F.min("cid").alias("cid"))
     )
-    # re-rank keeps the staged row norm; the query side carries its own
-    # staged norm through the probe ranking — cosine() inline here would
-    # recompute both HOF norms per candidate pair (the ivf assignment
-    # above already demonstrates the staged shape)
+    # downstream consumers keep the staged row norm — cosine() inline
+    # there would recompute both HOF norms per candidate pair (the
+    # assignment above already demonstrates the staged shape)
     assigned = base.select(id_col, vec_col, "_nrm").join(best, id_col)
+    return base, cents, assigned
 
-    q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.col("_nrm").alias("_qnrm"),
-    )
-    qsim = F.round(
-        _dot(F.col("qv"), F.col("cv")) / (F.col("_qnrm") * F.col("_cnrm")), 6
-    )
-    qc = q.join(cents).select("query_id", "qv", "_qnrm", "cid", qsim.alias("csim"))
-    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "_qnrm", "cid")
-    )
 
-    cand = assigned.join(F.broadcast(probes), "cid").filter(
-        F.col(id_col) != F.col("query_id")
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    centroid_stride: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """SemDeDup-style cluster-then-prune semantic dedup (Abbas et al.
+    2023, arXiv:2303.09540): assign every embedding to its nearest
+    deterministic hash-sampled centroid (the shared ``_ivf_assign``
+    build), compare pairs ONLY within a cluster, and mark the larger id
+    of every pair with cosine ≥ threshold as a duplicate. Output one row
+    per input: (id, cluster_id, keep).
+
+    Scale: the clustering bounds the all-pairs blowup per cluster —
+    expected cluster size ≈ stride, so pair work ≈ N·stride, not N²
+    (√N centroids → N^1.5 total, SemDeDup's own envelope); set
+    ``centroid_stride`` so a cluster's vectors fit an executor. The
+    self-join shuffles on cid with the staged norms riding along; every
+    pair then costs one dot + one divide. Keep rule: min id per
+    near-dup pair — deterministic, order-free, consistent with the text
+    dedup family (the paper keeps the lowest-centroid-similarity
+    exemplar; the canonical-id rule needs no second similarity pass and
+    is oracle-exact)."""
+    _, _, assigned = _ivf_assign(
+        df, centroid_stride, id_col, vec_col, persist_intermediate
     )
-    sim = F.round(
-        _dot(F.col("qv"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm")), 6
+    a = assigned.select(
+        "cid",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
-    scored = cand.select(
-        "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim")
+    b = assigned.select(
+        "cid",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    sim = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        assigned.select(id_col, F.col("cid").alias("cluster_id"))
+        .join(F.broadcast(dups.withColumn("_dup", F.lit(1))), id_col, "left")
+        .select(id_col, "cluster_id", F.col("_dup").isNull().alias("keep"))
     )
 
 

@@ -195,6 +195,69 @@ def test_embedding_neardup_lsh_contained_and_recall(spark, emb):
     assert all(lsh[k] == exact[k] for k in lsh)  # identical scoring path
 
 
+def test_semantic_dedup_matches_python_twin(spark, emb):
+    """semantic_dedup (SemDeDup cluster-then-prune) against a bit-exact
+    python twin: left-to-right float64 accumulation reproduces
+    F.aggregate's fold order, md5-prefix centroid sample, round-6
+    argmax assignment (ties → min cid), within-cluster keep-min."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    vec = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def fold_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s
+
+    nrm = {i: math.sqrt(fold_dot(vec[i], vec[i])) for i in ids}
+
+    def cos(i, j):
+        return round(fold_dot(vec[i], vec[j]) / (nrm[i] * nrm[j]), 6)
+
+    stride, th = 16, 0.4
+    h = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in ids}
+    cents = [i for i in ids if h[i] % stride == 0] or [min(ids, key=lambda i: h[i])]
+    assign = {i: max(cents, key=lambda c: (cos(i, c), -c)) for i in ids}
+    clusters = defaultdict(list)
+    for i, c in assign.items():
+        clusters[c].append(i)
+    dup = set()
+    for members in clusters.values():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                if cos(members[x], members[y]) >= th:
+                    dup.add(members[y])
+
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in S.semantic_dedup(emb, threshold=th, centroid_stride=stride).collect()
+    }
+    assert set(got) == set(ids)
+    for i in ids:
+        assert got[i] == (assign[i], i not in dup), i
+
+
+def test_semantic_dedup_empty_centroid_fallback(spark, emb):
+    """stride > N leaves the hash sample empty → the folded min-hash
+    fallback makes one cluster of everything; keep-set = exact near-dup
+    keep-min over the whole (single-cluster) table."""
+    small = emb.filter(F.col("vec_id") < 20)
+    out = S.semantic_dedup(small, threshold=0.4, centroid_stride=10**9).collect()
+    assert len(out) == small.count()
+    assert len({r["cluster_id"] for r in out}) == 1
+    exact_dups = {
+        r["id_b"]
+        for r in S.embedding_neardup_pairs(small, 0.4, method="exact").collect()
+    }
+    assert {r["vec_id"] for r in out if not r["keep"]} == exact_dups
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark, emb):
     out = S.cosine_topk(emb, [0], k=3).collect()
     assert all(r["neighbor_id"] != 0 for r in out)
