@@ -1556,8 +1556,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             s AS (
               SELECT doc_id, grp, n_tok,
-                     coalesce(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+                     CAST(coalesce(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS strt
               FROM t)
             SELECT doc_id, grp, strt // 2048 AS bin, strt % 2048 AS bin_offset,
                    ((strt + greatest(n_tok, 1) - 1) // 2048) - (strt // 2048) + 1 AS n_bins

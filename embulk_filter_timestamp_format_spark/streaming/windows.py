@@ -15,8 +15,12 @@ other two Structured Streaming shapes the engine supports:
 
 Scale notes: both operators shuffle once on their grouping key and keep
 fixed-width state per key in the state store; watermarks bound state
-retention for windows, a processing-time timeout (configurable) bounds
-it for the custom operator.
+retention for windows, and the custom operators take an optional
+``state_ttl`` (processing-time timeout) that evicts keys idle longer
+than the TTL — for ``streaming_dedup`` this trades exactness for a
+state bound (an evicted fingerprint re-emits if it recurs later; the
+lake anti-join in operators.incremental is the exact fallback when
+fingerprint cardinality outgrows state).
 """
 
 from __future__ import annotations
@@ -83,6 +87,23 @@ def sessionize(
     )
 
 
+def _ttl_ms(state_ttl) -> int:
+    """Normalize a TTL given as int milliseconds or a '30 seconds' /
+    '5 minutes' style duration string to milliseconds."""
+    if isinstance(state_ttl, int):
+        return state_ttl
+    parts = str(state_ttl).strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"state_ttl must be int ms or '<n> <unit>', got {state_ttl!r}")
+    n = float(parts[0])
+    unit = parts[1].rstrip("s").lower()
+    scale = {"millisecond": 1, "ms": 1, "second": 1000, "sec": 1000,
+             "minute": 60_000, "min": 60_000, "hour": 3_600_000, "day": 86_400_000}
+    if unit not in scale:
+        raise ValueError(f"unknown TTL unit {parts[1]!r}")
+    return int(n * scale[unit])
+
+
 DOC_STATE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
@@ -101,34 +122,58 @@ _STATE_TYPE = T.StructType(
 )
 
 
-def _track(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    events, last_seq, deleted = state.get if state.exists else (0, -1, False)
-    for pdf in pdfs:
-        events += len(pdf)
-        top = pdf.loc[pdf["event_seq"].idxmax()]
-        if int(top["event_seq"]) > last_seq:
-            last_seq = int(top["event_seq"])
-            deleted = top["op"] == "D"
-    state.update((events, last_seq, deleted))
-    yield pd.DataFrame(
-        {"doc_id": [key[0]], "events": [events], "last_seq": [last_seq], "deleted": [deleted]}
-    )
+def _make_track(ttl_ms: int | None):
+    def _track(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["doc_id", "events", "last_seq", "deleted"]).astype(
+                {"doc_id": "object", "events": "int64", "last_seq": "int64", "deleted": "bool"}
+            )
+            return
+        events, last_seq, deleted = state.get if state.exists else (0, -1, False)
+        for pdf in pdfs:
+            events += len(pdf)
+            top = pdf.loc[pdf["event_seq"].idxmax()]
+            if int(top["event_seq"]) > last_seq:
+                last_seq = int(top["event_seq"])
+                deleted = top["op"] == "D"
+        state.update((events, last_seq, deleted))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {"doc_id": [key[0]], "events": [events], "last_seq": [last_seq], "deleted": [deleted]}
+        )
+
+    return _track
 
 
-def track_doc_state(stream_df: DataFrame) -> DataFrame:
+_track = _make_track(None)
+
+
+def track_doc_state(stream_df: DataFrame, state_ttl=None) -> DataFrame:
     """Per-doc running CDC state via applyInPandasWithState: total event
     count, last applied seq, and whether the latest op is a delete —
     emitted (update mode) every micro-batch a key appears in. Needs
-    columns (doc_id, event_seq, op)."""
+    columns (doc_id, event_seq, op).
+
+    ``state_ttl`` (int ms or '30 seconds' style) bounds the state store:
+    a doc idle longer than the TTL is evicted (processing-time timeout);
+    if it reappears its counters restart from zero.
+
+    TTL mode needs a continuously-triggered query: ProcessingTimeTimeout
+    makes the engine keep scheduling (empty) timer batches, so a
+    ``Trigger.AvailableNow`` run never terminates (measured) — stop the
+    query explicitly instead."""
+    ttl = _ttl_ms(state_ttl) if state_ttl is not None else None
     return (
         stream_df.select("doc_id", "event_seq", "op")
         .groupBy("doc_id")
         .applyInPandasWithState(
-            _track,
+            _make_track(ttl),
             outputStructType=DOC_STATE_SCHEMA,
             stateStructType=_STATE_TYPE,
             outputMode="update",
-            timeoutConf="NoTimeout",
+            timeoutConf="ProcessingTimeTimeout" if ttl is not None else "NoTimeout",
         )
     )
 
@@ -153,32 +198,48 @@ _DEDUP_STATE = T.StructType(
 )
 
 
-def _first_seen(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    """Per-fingerprint state machine: the first batch a fingerprint
-    appears in emits its min-doc_id row (deterministic within-batch
-    winner); every later occurrence only bumps the suppressed-dup
-    counter and emits nothing."""
-    n = 0
-    best = None
-    for pdf in pdfs:
-        n += len(pdf)
-        m = int(pdf["doc_id"].min())
-        best = m if best is None or m < best else best
-    if state.exists:
-        winner, dups = state.get
-        state.update((winner, dups + n))
-        yield pd.DataFrame(columns=["fp", "doc_id", "dups_suppressed"]).astype(
+def _make_first_seen(ttl_ms: int | None):
+    def _first_seen(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        """Per-fingerprint state machine: the first batch a fingerprint
+        appears in emits its min-doc_id row (deterministic within-batch
+        winner); every later occurrence only bumps the suppressed-dup
+        counter and emits nothing. With a TTL, an idle fingerprint is
+        evicted and a later recurrence re-emits (bounded-state mode)."""
+        empty = pd.DataFrame(columns=["fp", "doc_id", "dups_suppressed"]).astype(
             {"fp": "object", "doc_id": "int64", "dups_suppressed": "int64"}
         )
-    else:
-        state.update((best, n - 1))
-        yield pd.DataFrame(
-            {"fp": [key[0]], "doc_id": [best], "dups_suppressed": [n - 1]}
-        )
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield empty
+            return
+        n = 0
+        best = None
+        for pdf in pdfs:
+            n += len(pdf)
+            m = int(pdf["doc_id"].min())
+            best = m if best is None or m < best else best
+        if state.exists:
+            winner, dups = state.get
+            state.update((winner, dups + n))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield empty
+        else:
+            state.update((best, n - 1))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(
+                {"fp": [key[0]], "doc_id": [best], "dups_suppressed": [n - 1]}
+            )
+
+    return _first_seen
+
+
+_first_seen = _make_first_seen(None)
 
 
 def streaming_dedup(
-    stream_df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    stream_df: DataFrame, text_col: str = "text", id_col: str = "doc_id", state_ttl=None
 ) -> DataFrame:
     """Exact online dedup across micro-batches: key the stream on the
     normalized-text md5 fingerprint (same canonicalization as
@@ -193,8 +254,15 @@ def streaming_dedup(
 
     Scale notes: one shuffle on fp per micro-batch; state is two longs
     per distinct fingerprint — 10^10 docs ≈ 160 GB across the cluster's
-    state stores, or swap the md5 for fingerprint64 buckets + a lake
-    anti-join when fingerprint cardinality outgrows state. Reference
+    state stores. ``state_ttl`` (int ms or '30 seconds' style) caps that
+    by evicting fingerprints idle longer than the TTL via a
+    processing-time timeout — an evicted fingerprint that recurs later
+    re-emits, so TTL mode is approximate-across-long-gaps; for exact
+    unbounded dedup keep ``state_ttl=None`` or swap the md5 for
+    fingerprint64 buckets + a lake anti-join when fingerprint
+    cardinality outgrows state. TTL mode needs a continuously-triggered
+    query (ProcessingTimeTimeout schedules endless timer batches, so
+    ``Trigger.AvailableNow`` never terminates — stop explicitly). Reference
     parity: this is the streaming twin of the reference's row-visitor
     pass-through discipline — payload columns survive untouched;
     cite embulk-filter-timestamp_format ColumnVisitorImpl.java:24-79.
@@ -205,10 +273,11 @@ def streaming_dedup(
         fingerprint_md5(F.col(text_col)).alias("fp"),
         F.col(id_col).cast("long").alias("doc_id"),
     )
+    ttl = _ttl_ms(state_ttl) if state_ttl is not None else None
     return keyed.groupBy("fp").applyInPandasWithState(
-        _first_seen,
+        _make_first_seen(ttl),
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=_DEDUP_STATE,
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if ttl is not None else "NoTimeout",
     )

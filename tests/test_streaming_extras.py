@@ -185,3 +185,113 @@ def test_streaming_dedup_equals_batch_dedup(spark, tmp_path_factory):
     # dups are counted in state (not re-emitted) — verify total dups via
     # survivors vs input size instead
     assert n - len(got) == sum(v[1] for v in expect.values())
+
+
+def test_ttl_ms_parser():
+    from embulk_filter_timestamp_format_spark.streaming.windows import _ttl_ms
+
+    assert _ttl_ms(1500) == 1500
+    assert _ttl_ms("2 seconds") == 2000
+    assert _ttl_ms("5 minutes") == 300_000
+    with pytest.raises(ValueError):
+        _ttl_ms("fortnight")
+    with pytest.raises(ValueError):
+        _ttl_ms("3 fortnights")
+
+
+def test_streaming_dedup_ttl_evicts_and_reemits(spark, tmp_path_factory):
+    """With state_ttl set, a fingerprint idle past the TTL is evicted
+    from the state store (processing-time timeout) and a later
+    recurrence RE-emits — the documented bounded-state trade-off.
+
+    Runs one CONTINUOUS micro-batch query and stops it explicitly:
+    ProcessingTimeTimeout makes the engine keep scheduling (empty)
+    batches to fire timers, so ``availableNow`` + ``awaitTermination``
+    would never return (measured — batchIds climbed past 50 on a
+    1-row input). The empty batches are also what evicts the idle key."""
+    import time
+
+    from embulk_filter_timestamp_format_spark.streaming.windows import streaming_dedup
+
+    base = tmp_path_factory.mktemp("dedup_ttl")
+    d, ck = str(base / "src"), str(base / "ck")
+    schema = "doc_id LONG, text STRING"
+    spark.createDataFrame([(0, "alpha alpha")], schema).coalesce(1).write.parquet(f"{d}/c0")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/c*")
+    )
+    q = (
+        streaming_dedup(stream, state_ttl="2 seconds")
+        .writeStream.format("memory")
+        .queryName("sdedup_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+
+    def sink():
+        return {
+            (r["fp"], r["doc_id"])
+            for r in spark.sql("SELECT * FROM sdedup_ttl WHERE fp IS NOT NULL").collect()
+        }
+
+    def wait_for(pred, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            got = sink()
+            if pred(got):
+                return got
+            time.sleep(0.5)
+        return sink()
+
+    try:
+        first = wait_for(lambda g: len(g) == 1)
+        assert len(first) == 1, f"alpha should emit once, got {first}"
+        fp_alpha = next(iter(first))[0]
+
+        # idle past the TTL: the engine's timer batches evict alpha
+        time.sleep(4)
+        # recurrence under a NEW doc_id: state is gone, so it re-emits
+        spark.createDataFrame([(2, "alpha alpha")], schema).coalesce(1).write.parquet(
+            f"{d}/c1"
+        )
+        second = wait_for(lambda g: (fp_alpha, 2) in g)
+        assert (fp_alpha, 2) in second, (
+            f"evicted fingerprint should re-emit with the new doc_id; got {second}"
+        )
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_no_ttl_still_suppresses(spark, tmp_path_factory):
+    """Without a TTL the same restart scenario suppresses the recurrence
+    (exact mode) — guards that the TTL plumbing didn't change the
+    default path."""
+    from embulk_filter_timestamp_format_spark.streaming.windows import streaming_dedup
+
+    base = tmp_path_factory.mktemp("dedup_nottl")
+    d, ck = str(base / "src"), str(base / "ck")
+    schema = "doc_id LONG, text STRING"
+    spark.createDataFrame([(0, "alpha alpha")], schema).coalesce(1).write.parquet(f"{d}/c0")
+    spark.createDataFrame([(2, "alpha alpha")], schema).coalesce(1).write.parquet(f"{d}/c1")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/c*")
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sdedup_nottl")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sdedup_nottl WHERE fp IS NOT NULL").collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 0
