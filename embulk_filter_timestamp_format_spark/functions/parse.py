@@ -372,12 +372,7 @@ def _fast_native_civil_sec(col: Column, L: FastLayout) -> Column:
     otherwise), the same requirement the DST ``from_tz`` path and the
     formatter already carry."""
 
-    prefix = F.substring(col, 1, L.prefix_len)
-    if FT.Y4 in L.fields:
-        ypos, _w = L.fields[FT.Y4]
-        prefix = F.when(
-            F.substring(col, ypos, 4).between("1678", "2261"), prefix
-        )
+    prefix = F.substring(_year_guard(col, L), 1, L.prefix_len)
     return F.unix_seconds(F.try_to_timestamp(prefix, F.lit(L.pattern)))
 
 
@@ -398,12 +393,32 @@ def _fast_native_full_sec(col: Column, L: FastLayout) -> Column:
     pre-checked the same way as :func:`_fast_native_civil_sec`; the
     same UTC-session gate applies."""
 
+    return F.unix_seconds(_fast_native_full_ts(col, L))
+
+
+def _year_guard(col: Column, L: FastLayout) -> Column:
+    """NULL out rows whose year window falls outside [1678, 2261] —
+    the try_to_timestamp year-0-throw / int64-nanos-overflow pre-check.
+    When the year LEADS the layout the whole-string prefix compare
+    suffices (col ≥ '1678' admits every 1678+ year; col < '2262'
+    rejects 2262+ since any longer '2262…' string sorts above the bare
+    literal) and skips the substring allocation; mid-layout years take
+    the 4-char window compare. Either form is conservative: a non-digit
+    window fails the compare and the row falls to the regex engine."""
+    if FT.Y4 not in L.fields:
+        return col
+    ypos, _w = L.fields[FT.Y4]
+    if ypos == 1:
+        return F.when((col >= "1678") & (col < "2262"), col)
+    return F.when(F.substring(col, ypos, 4).between("1678", "2261"), col)
+
+
+def _fast_native_full_ts(col: Column, L: FastLayout) -> Column:
+    """The guarded full-string native parse both zone-less kernels share
+    (seconds for the DST-``from_tz`` fallback, micros for the hot
+    fixed-offset path)."""
     pat = L.pattern + ("S" * L.frac_max if L.frac_pos else "")
-    whole = col
-    if FT.Y4 in L.fields:
-        ypos, _w = L.fields[FT.Y4]
-        whole = F.when(F.substring(col, ypos, 4).between("1678", "2261"), col)
-    return F.unix_seconds(F.try_to_timestamp(whole, F.lit(pat)))
+    return F.try_to_timestamp(_year_guard(col, L), F.lit(pat))
 
 
 def _utc_session_active() -> bool:
@@ -635,12 +650,45 @@ def format_parse_expr(
             # (pattern + S×frac_max), so the residual cond/frac checks
             # vanish — validity is exactly ts-non-NULL, and every
             # expression below is NULL-propagating (try_* arithmetic),
-            # so no `matched` CaseWhen is needed at all. The fraction is
-            # re-read from the text for nano precision (the native parse
-            # validated its digits; micros are floored away by
-            # unix_seconds). Measured 556k rows/s/core on the flagship
-            # shape vs 407k for the prefix+residual shape
-            # (BENCH/BASELINE.md round 4).
+            # so no `matched` CaseWhen is needed at all.
+            off = _fixed_offset_seconds(from_tz)
+            if off is not None:
+                # fixed-offset from_tz (the hot CDC config): assemble
+                # from unix_MICROS — the native parse already validated
+                # and converted the first 6 fraction digits, so only the
+                # sub-micro tail (digits 7..9, ≤ 3 chars) is re-read
+                # from the text, instead of the full 9-char
+                # rpad+try_cast the seconds kernel pays. micros·1000 +
+                # tail ≡ sec·10⁹ + rpad-9(frac): sec·10⁹ is a multiple
+                # of 10⁶, micros carry rpad-6 of the fraction (nano→
+                # micro truncation = dropping digits 7-9; the fraction
+                # is non-negative on both sides of the epoch), and the
+                # year guard keeps ·1000 inside int64 (try_* NULL any
+                # residue). Measured 539k → 788k rows/s at local[1] on
+                # the flagship parse+format shape (BENCH/BASELINE.md
+                # round 5).
+                base = F.try_multiply(
+                    F.unix_micros(_fast_native_full_ts(col, fast)), F.lit(1000)
+                )
+                if off:
+                    base = F.try_add(base, F.lit(-off * 1_000_000_000))
+                if pf.dialect == "java":
+                    # Joda keeps milliseconds only: drop sub-ms nanos
+                    # (utc·10⁹ ≡ 0 mod 10⁶, so pmod isolates the
+                    # fraction's sub-ms part — same truncation as the
+                    # shared frac_nanos rule; digits 7-9 stay dropped)
+                    base = base - F.pmod(base, F.lit(1_000_000))
+                elif fast.frac_pos and fast.frac_max > 6:
+                    sub = F.when(
+                        F.length(col) >= fast.frac_pos + 6,
+                        F.rpad(F.substring(col, fast.frac_pos + 6, 3), 3, "0")
+                        .try_cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    base = F.try_add(base, sub)
+                return base
+            # DST from_tz: wall-clock seconds through the tz database
+            # (to_utc_timestamp needs whole seconds), fraction re-read
+            # rpad-9 from the text
             utc_sec = _apply_from_tz_col(_fast_native_full_sec(col, fast), from_tz)
             if fast.frac_pos:
                 f9 = F.rpad(F.substring(col, fast.frac_pos, 9), 9, "0").try_cast(
@@ -1192,13 +1240,28 @@ class TimestampParserPlan:
 
         ``fast=None`` (auto) engages the fixed-width fast path only when
         the session is UTC (the native kernel parses in the session
-        zone) AND whole-stage codegen is OFF at build time (under WSCG
-        the 4 projections fuse into one JIT-hostile class — see
-        ``_wscg_enabled``; the CDC batch body runs WSCG-off, so it gets
-        the fast shape automatically). Otherwise the r03 regex shapes
-        are emitted: one stage holding every format's self-contained
-        parse expression (single-format callers collapse to one
-        projection via CollapseProject).
+        zone) AND — for MULTI-format cascades — whole-stage codegen is
+        OFF at build time (under WSCG the 4 projections fuse into one
+        JIT-hostile class — see ``_wscg_enabled``; the CDC batch body
+        runs WSCG-off, so it gets the fast shape automatically). A
+        SINGLE fast-eligible format takes the one-projection shape below
+        under either codegen mode. Otherwise the r03 regex shapes are
+        emitted: one stage holding every format's self-contained parse
+        expression (single-format callers collapse to one projection via
+        CollapseProject).
+
+        SINGLE fast-eligible format — ONE projection,
+        ``coalesce(fast, inline-regex)``: with no cascade to gate there
+        is nothing to stage — the native fast expr is coalesce's first
+        child (unconditional, evaluated once) and the self-contained
+        regex engine its second (conditional: EXECUTES only for rows
+        the fast layout rejects). Cuts the aligned-feed cost from four
+        UnsafeRow materialization passes to one — measured 559k → >700k
+        rows/s at local[1] on the bench shape (BENCH/BASELINE.md round
+        5). The trade, on purpose: a misaligned-HEAVY feed pays the
+        conditional-context CSE defeat (~#fields regex runs per slow
+        row vs one in the staged shape) — the right polarity for hot
+        CDC feeds, where alignment is the norm and stragglers are rare.
 
         With the fast path, per format the stages are:
 
@@ -1222,14 +1285,26 @@ class TimestampParserPlan:
         CollapseProject keeps every stage (the same discipline as
         ``cascade_from_staged``).
         """
+        single_layout = (
+            fast_layout(self.parsed[0]) if len(self.parsed) == 1 else None
+        )
         if fast is None:
-            fast = _utc_session_active() and not _wscg_enabled()
+            fast = _utc_session_active() and (
+                not _wscg_enabled() or single_layout is not None
+            )
         if not fast:
             stage = {
                 f"__pf{i}__{tag}": e
                 for i, e in enumerate(self.format_exprs(col))
             }
             return [stage], list(stage)
+        if single_layout is not None:
+            name = f"__pf0__{tag}"
+            ft = format_parse_expr(
+                col, self.parsed[0], self.from_timezone, fast=single_layout
+            )
+            slow = format_parse_expr(col, self.parsed[0], self.from_timezone)
+            return [{name: F.coalesce(ft, slow)}], [name]
         stages: list[dict[str, Column]] = [{}, {}, {}, {}]
         names: list[str] = []
         ft_so_far: list[str] = []

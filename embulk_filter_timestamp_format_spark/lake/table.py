@@ -343,6 +343,7 @@ class IceTable:
         self.root = root
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
+        self.last_merge_info: "dict | None" = None
 
     # ------------------------------------------------------------------
     # catalog
@@ -364,6 +365,9 @@ class IceTable:
         stats_cols: "list[str] | str" = "auto",
         sort_cols: "list[str] | None" = None,
         parquet_block_bytes: "int | None" = None,
+        merge_file_pruning: bool = True,
+        cow_file_threshold: int = 8,
+        max_file_rows: "int | None" = None,
     ) -> "IceTable":
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
@@ -427,6 +431,32 @@ class IceTable:
                 # pruning granularity, more footer overhead).
                 "sort_cols": sort_cols,
                 "parquet_block_bytes": parquet_block_bytes,
+                # file-scoped COW overwrite (Iceberg's overwrite-by-file
+                # semantics): a copy-on-write merge rewrites only the
+                # files of a touched bucket whose manifest KEY bounds may
+                # contain a batch key; provably-disjoint files are carried
+                # forward in the commit untouched. Turns COW write
+                # amplification from O(touched-bucket bytes) into
+                # O(key-overlapping files) when churn is key-localized
+                # (hot recent docs) — the single-NVMe rewrite tail the
+                # round-4 scaling runs pinned. cow_file_threshold bounds
+                # the per-bucket base-file chain this creates: a bucket
+                # whose chain would exceed it is rewritten whole
+                # (coalescing), so read amplification stays ≤ threshold
+                # files per bucket.
+                "merge_file_pruning": merge_file_pruning,
+                "cow_file_threshold": cow_file_threshold,
+                # target file size in rows (Iceberg's write.target-file-size
+                # analog): when set, each bucket's write is sorted by KEY
+                # and split into ≤max_file_rows files, so every file covers
+                # a narrow, contiguous key range. This is what makes
+                # merge_file_pruning bite in steady state — a monolithic
+                # one-file-per-bucket layout has full-span key bounds and
+                # every merge hits it; a split layout lets key-localized
+                # churn carry the cold files forward. KEY leads the
+                # within-bucket sort when splitting (sort_cols follow it),
+                # since contiguity of the split is the point.
+                "max_file_rows": max_file_rows,
             },
             "files": [],
             "summary": {"batch_ids": {}, "lineage": [], "operation": "create"},
@@ -768,18 +798,89 @@ class IceTable:
             old, new, spec["key"], spec.get("seq", "event_seq"), broadcast_keys
         )
 
-    def _read_buckets(self, snap: dict, buckets: set[int]) -> "DataFrame | None":
-        """Full contents of the base files covering ``buckets`` (caller
-        must pass a coverage-CLOSED set when rewriting — see
-        _bucket_closure)."""
-        n = snap["spec"]["num_buckets"]
-        schema = T.StructType.fromJson(snap["schema"])
-        return self._read_projected(
-            _files_covering(
-                [f for f in snap["files"] if not f.get("delta")], buckets, n, n
-            ),
-            schema,
+    def _split_rewrite_files(
+        self,
+        spec: dict,
+        candidates: "list[dict]",
+        probe_keys: DataFrame,
+        num_buckets: int,
+    ) -> "tuple[list[dict], list[dict]]":
+        """(hit, carry) partition of the candidate base files of a COW
+        merge: ``carry`` files have manifest key bounds provably disjoint
+        from every batch key and are carried forward in the commit
+        unread and unwritten; ``hit`` files must be rewritten.
+
+        Soundness: a key present in a file always lies inside that
+        file's footer min/max (string truncation rounds the max UP —
+        see _stats_bound), so bound-disjoint ⇒ key-absent; files with
+        missing or non-plain (timestamp-domain) key bounds are
+        conservatively hit. NULL keys are outside the merge contract
+        (the key is a primary key; equi-joins never match them either
+        way).
+
+        The intersection test runs IN SPARK — candidate ranges are a
+        metadata-sized broadcast, the probe keys a column-pruned scan,
+        the join a broadcast hash join on bucket with the range as
+        residual filter — so driver traffic is O(files hit), never
+        O(batch keys). Per-bucket chains longer than
+        ``cow_file_threshold`` are coalesced (whole bucket hit), which
+        bounds COW read amplification the way compact_threshold bounds
+        MOR's."""
+        if not spec.get("merge_file_pruning", True) or not candidates:
+            return list(candidates), []
+        key = spec["key"]
+        threshold = spec.get("cow_file_threshold", 8)
+        max_file_rows = spec.get("max_file_rows")
+        per_bucket: dict[int, int] = {}
+        bucket_rows: dict[int, int] = {}
+        for f in candidates:
+            for b in _entry_buckets(f, num_buckets, num_buckets):
+                per_bucket[b] = per_bucket.get(b, 0) + 1
+                bucket_rows[b] = bucket_rows.get(b, 0) + int(f.get("rows") or 0)
+        if max_file_rows:
+            # under target-file-size splitting a bucket legitimately holds
+            # ceil(rows/max_file_rows) disjoint-range files; the threshold
+            # bounds the EXCESS over that ideal layout (per-key read
+            # amplification ≈ overlapping files, not chain length)
+            coalesce = {
+                b
+                for b, c in per_bucket.items()
+                if c > -(-bucket_rows[b] // max_file_rows) + threshold
+            }
+        else:
+            coalesce = {b for b, c in per_bucket.items() if c > threshold}
+
+        hit: list[dict] = []
+        ranged: list[dict] = []
+        rows: list[tuple] = []
+        for f in candidates:
+            cov = _entry_buckets(f, num_buckets, num_buckets)
+            st = f.get("stats", {}).get(key) or {}
+            lo, hi = st.get("min"), st.get("max")
+            if (cov & coalesce) or lo is None or hi is None or st.get("type") != "plain":
+                hit.append(f)
+                continue
+            ranged.append(f)
+            for b in cov:
+                rows.append((f["path"], int(b), lo, hi))
+        if not ranged:
+            return hit, []
+        ranges = self.spark.createDataFrame(rows, ["__path", "__rb", "__kmin", "__kmax"])
+        probe = probe_keys.select(
+            F.col(key).alias("__k"),
+            self._bucket_expr(key, num_buckets).alias("__rb"),
         )
+        hit_paths = {
+            r["__path"]
+            for r in probe.join(F.broadcast(ranges), "__rb")
+            .filter((F.col("__k") >= F.col("__kmin")) & (F.col("__k") <= F.col("__kmax")))
+            .select("__path")
+            .distinct()
+            .collect()
+        }
+        carry = [f for f in ranged if f["path"] not in hit_paths]
+        hit += [f for f in ranged if f["path"] in hit_paths]
+        return hit, carry
 
     # ------------------------------------------------------------------
     # write paths
@@ -815,7 +916,15 @@ class IceTable:
         conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         try:
             batch = with_bucket.repartition(num_buckets, F.col("__bucket"))
-            sort_cols = spec.get("sort_cols")
+            sort_cols = list(spec.get("sort_cols") or [])
+            max_file_rows = spec.get("max_file_rows")
+            if max_file_rows:
+                # key-led sort + maxRecordsPerFile: the writer cuts each
+                # bucket's sorted stream every max_file_rows rows, so the
+                # resulting files cover contiguous, disjoint key ranges —
+                # the layout merge_file_pruning needs. sort_cols keep
+                # their z-order role after the key.
+                sort_cols = [key] + [c for c in sort_cols if c != key]
             if sort_cols:
                 # __bucket leads the sort so the dynamic-partition writer
                 # sees its required ordering already satisfied and does
@@ -827,6 +936,8 @@ class IceTable:
                 .option("compression", codec)
                 .mode("append")
             )
+            if max_file_rows:
+                writer = writer.option("maxRecordsPerFile", str(max_file_rows))
             if spec.get("parquet_block_bytes"):
                 writer = writer.option(
                     "parquet.block.size", str(spec["parquet_block_bytes"])
@@ -986,7 +1097,20 @@ class IceTable:
             # merge and land in current-generation files — rebucket
             # migration happens lazily, churn-by-churn)
             touched = _bucket_closure(snap["files"], touched, num_buckets, num_buckets)
-            target = self._read_buckets(snap, touched)
+            # file-scoped overwrite: within the touched buckets, only
+            # files whose manifest KEY bounds may contain a batch key are
+            # read + rewritten; bound-disjoint files are carried forward
+            # in the commit (Iceberg overwrite-by-file). At key-localized
+            # churn this cuts the COW rewrite tail from touched-bucket
+            # bytes to overlapping-file bytes.
+            candidates = _files_covering(
+                [f for f in snap["files"] if not f.get("delta")],
+                touched, num_buckets, num_buckets,
+            )
+            hit, carry = self._split_rewrite_files(
+                spec, candidates, probe.select(key), num_buckets
+            )
+            target = self._read_projected(hit, schema) if hit else None
 
             # MERGE = (target rows whose key is NOT updated)  ∪  (upserts).
             # The anti-join needs only the update KEYS — broadcastable, so the
@@ -1004,9 +1128,20 @@ class IceTable:
 
             entries = self._write_data_files(merged, key, num_buckets, snap["schema_version"])
             version = self._try_commit_merge(
-                snap, touched, entries, batch_id, source, lineage
+                snap, touched, entries, batch_id, source, lineage,
+                remove_paths={f["path"] for f in hit},
             )
             if version is not None:
+                self.last_merge_info = {
+                    "files_candidate": len(candidates),
+                    "files_rewritten": len(hit),
+                    "files_carried": len(carry),
+                    "files_written": len(entries),
+                    "bytes_written": sum(
+                        os.path.getsize(os.path.join(self.root, e["path"]))
+                        for e in entries
+                    ),
+                }
                 return version
             # touched-bucket overlap with a concurrent commit: data files
             # are stale — drop them and recompute against the new snapshot
@@ -1143,19 +1278,28 @@ class IceTable:
         batch_id: "int | None",
         source: str,
         lineage: "dict | None",
+        remove_paths: "set[str] | None" = None,
     ) -> "int | None":
         """Commit `entries` replacing `touched` buckets; retries across
         DISJOINT concurrent commits, returns None when a conflicting
-        commit overlapped the touched buckets (caller must recompute)."""
+        commit overlapped the touched buckets (caller must recompute).
+
+        ``remove_paths`` narrows the replaced set to specific files
+        (file-scoped overwrite — the key-bound-disjoint rest of the
+        touched buckets is carried forward); conflict VALIDATION still
+        covers the full touched-bucket file set, so a concurrent writer
+        that rewrote a carried file forces a recompute."""
         num_buckets = snap["spec"]["num_buckets"]
         base_touched_files = {
             f["path"]
             for f in _files_covering(snap["files"], touched, num_buckets, num_buckets)
         }
+        if remove_paths is None:
+            remove_paths = base_touched_files
         for _ in range(MAX_COMMIT_RETRIES):
             new = self._child(snap, "merge")
             new["files"] = [
-                f for f in snap["files"] if f["path"] not in base_touched_files
+                f for f in snap["files"] if f["path"] not in remove_paths
             ] + entries
             if batch_id is not None:
                 new["summary"]["batch_ids"][source] = batch_id
