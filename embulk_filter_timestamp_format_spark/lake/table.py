@@ -344,6 +344,7 @@ class IceTable:
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
         self.last_merge_info: "dict | None" = None
+        self._last_probe_ran = False
 
     # ------------------------------------------------------------------
     # catalog
@@ -803,6 +804,7 @@ class IceTable:
         spec: dict,
         candidates: "list[dict]",
         probe_keys: DataFrame,
+        envelopes: "dict[int, tuple]",
         num_buckets: int,
     ) -> "tuple[list[dict], list[dict]]":
         """(hit, carry) partition of the candidate base files of a COW
@@ -818,14 +820,34 @@ class IceTable:
         (the key is a primary key; equi-joins never match them either
         way).
 
-        The intersection test runs IN SPARK — candidate ranges are a
-        metadata-sized broadcast, the probe keys a column-pruned scan,
-        the join a broadcast hash join on bucket with the range as
-        residual filter — so driver traffic is O(files hit), never
-        O(batch keys). Per-bucket chains longer than
-        ``cow_file_threshold`` are coalesced (whole bucket hit), which
-        bounds COW read amplification the way compact_threshold bounds
-        MOR's."""
+        Two tiers, cheap one first:
+
+        1. **Envelope pass (free, driver-side).** ``envelopes`` maps
+           each touched bucket to its batch-key (min, max) — harvested
+           by the caller from the SAME aggregate that discovered the
+           touched buckets, so it costs no extra Spark job. A file
+           whose bounds are disjoint from the envelope of every touched
+           bucket it covers is carried immediately. Under the
+           key-localized churn this feature targets, the envelope IS
+           the churn window, so this tier does nearly all the carrying.
+        2. **Exact probe (one Spark job), split layouts only.** Files
+           that intersect an envelope may still miss every actual key
+           when the batch is sparse inside its span. The exact test
+           runs IN SPARK — surviving ranges are a metadata-sized
+           broadcast, the probe the caller's persisted (__k, __bucket)
+           projection, the join a broadcast hash join on bucket with
+           the range as residual filter — so driver traffic is O(files
+           hit), never O(batch keys). It runs ONLY when
+           ``max_file_rows`` is set: on a monolithic layout every file
+           has (near-)full-span bounds, nothing can be carried, and the
+           probe is pure overhead — measured at ~0.36 s/merge on the
+           round-5 A/B's `prune` arm (BENCH/NOTES.md), which is why
+           plain tables get tier 1 only and pay zero extra jobs.
+
+        Per-bucket chains longer than ``cow_file_threshold`` are
+        coalesced (whole bucket hit), which bounds COW read
+        amplification the way compact_threshold bounds MOR's."""
+        self._last_probe_ran = False
         if not spec.get("merge_file_pruning", True) or not candidates:
             return list(candidates), []
         key = spec["key"]
@@ -850,7 +872,22 @@ class IceTable:
         else:
             coalesce = {b for b, c in per_bucket.items() if c > threshold}
 
+        def _envelope_disjoint(lo, hi, cov):
+            # Python str comparison == Spark UTF8String comparison here:
+            # UTF-8 byte order preserves code-point order. Buckets the
+            # file covers but the batch didn't touch contribute no keys;
+            # a None bound (all-NULL-key bucket) can't prove disjoint.
+            for b in cov:
+                env = envelopes.get(b)
+                if env is None:
+                    continue
+                elo, ehi = env
+                if elo is None or ehi is None or (hi >= elo and lo <= ehi):
+                    return False
+            return True
+
         hit: list[dict] = []
+        carry: list[dict] = []
         ranged: list[dict] = []
         rows: list[tuple] = []
         for f in candidates:
@@ -859,17 +896,19 @@ class IceTable:
             lo, hi = st.get("min"), st.get("max")
             if (cov & coalesce) or lo is None or hi is None or st.get("type") != "plain":
                 hit.append(f)
-                continue
-            ranged.append(f)
-            for b in cov:
-                rows.append((f["path"], int(b), lo, hi))
+            elif _envelope_disjoint(lo, hi, cov):
+                carry.append(f)
+            elif max_file_rows:
+                ranged.append(f)
+                for b in cov:
+                    rows.append((f["path"], int(b), lo, hi))
+            else:
+                hit.append(f)
+        self._last_probe_ran = bool(ranged)  # tier-2 exact probe engaged
         if not ranged:
-            return hit, []
+            return hit, carry
         ranges = self.spark.createDataFrame(rows, ["__path", "__rb", "__kmin", "__kmax"])
-        probe = probe_keys.select(
-            F.col(key).alias("__k"),
-            self._bucket_expr(key, num_buckets).alias("__rb"),
-        )
+        probe = probe_keys.select("__k", F.col("__bucket").alias("__rb"))
         hit_paths = {
             r["__path"]
             for r in probe.join(F.broadcast(ranges), "__rb")
@@ -878,7 +917,7 @@ class IceTable:
             .distinct()
             .collect()
         }
-        carry = [f for f in ranged if f["path"] not in hit_paths]
+        carry += [f for f in ranged if f["path"] not in hit_paths]
         hit += [f for f in ranged if f["path"] in hit_paths]
         return hit, carry
 
@@ -1082,14 +1121,30 @@ class IceTable:
             schema = T.StructType.fromJson(snap["schema"])
             payload_cols = [f.name for f in schema.fields]
 
+            # ONE slim (key, bucket) projection feeds both probes — the
+            # touched-bucket discovery and the file-range intersection —
+            # so the probe plan (possibly the whole update pipeline when
+            # no probe_df is given) executes once, not twice. persist()
+            # is the right cache here: ≤2 actions, KBs per batch key.
+            # The ONE aggregate also returns each touched bucket's batch
+            # key ENVELOPE (min/max), so the common pruning case — a
+            # file range disjoint from everything the batch touches in
+            # its bucket — is decided on the driver for free, without a
+            # second Spark job (see _split_rewrite_files).
             probe = probe_df if probe_df is not None else updates
-            touched = {
-                r["__bucket"]
-                for r in probe.select(
-                    self._bucket_expr(key, num_buckets).alias("__bucket")
-                ).distinct().collect()
+            pk = probe.select(
+                F.col(key).alias("__k"),
+                self._bucket_expr(key, num_buckets).alias("__bucket"),
+            ).persist()
+            bucket_rows = pk.groupBy("__bucket").agg(
+                F.min("__k").alias("__lo"), F.max("__k").alias("__hi")
+            ).collect()
+            touched = {r["__bucket"] for r in bucket_rows}
+            envelopes = {
+                r["__bucket"]: (r["__lo"], r["__hi"]) for r in bucket_rows
             }
             if not touched:
+                pk.unpersist()
                 return None  # empty batch: no commit (re-delivery is a no-op anyway)
             # pre-rebucket files span several current buckets; a rewrite
             # replaces whole files, so close the touched set over file
@@ -1107,9 +1162,12 @@ class IceTable:
                 [f for f in snap["files"] if not f.get("delta")],
                 touched, num_buckets, num_buckets,
             )
-            hit, carry = self._split_rewrite_files(
-                spec, candidates, probe.select(key), num_buckets
-            )
+            try:
+                hit, carry = self._split_rewrite_files(
+                    spec, candidates, pk, envelopes, num_buckets
+                )
+            finally:
+                pk.unpersist()  # hit paths are collected — pk is done
             target = self._read_projected(hit, schema) if hit else None
 
             # MERGE = (target rows whose key is NOT updated)  ∪  (upserts).
@@ -1137,6 +1195,7 @@ class IceTable:
                     "files_rewritten": len(hit),
                     "files_carried": len(carry),
                     "files_written": len(entries),
+                    "probe_ran": self._last_probe_ran,
                     "bytes_written": sum(
                         os.path.getsize(os.path.join(self.root, e["path"]))
                         for e in entries

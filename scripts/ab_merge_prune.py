@@ -12,9 +12,12 @@ Arms (each a fresh identically-seeded table per round, interleaved
 A,B,C,A,B,C so co-tenant drift hits all arms equally):
 
   off          merge_file_pruning=False            (round-4 behavior)
-  prune        pruning ON, monolithic files        (isolates probe cost:
-               the seed writes one full-span file per bucket, so every
-               file is hit and pruning can't help — measures overhead)
+  prune        pruning ON, monolithic files        (the layout where
+               pruning can't help: full-span file bounds, nothing to
+               carry — measures the feature's overhead there. The
+               first run of this arm exposed ~0.36 s/merge of exact-
+               probe cost, which led to the two-tier gating: tier 2
+               now never fires on this arm, and the arm verifies that)
   prune_split  pruning ON + max_file_rows split    (the round-5 design)
 
 Reported per arm: total merge wall clock (seed excluded), total bytes

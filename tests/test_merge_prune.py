@@ -243,6 +243,46 @@ def test_split_equivalence_and_excess_threshold(spark, tmp_path):
         assert c <= ideal + 2 + 1  # + this batch's files
 
 
+def test_probe_tier_gating(spark, tmp_path):
+    """Tier 1 (batch-key envelope, free) vs tier 2 (exact in-Spark
+    probe): monolithic layouts must never pay the probe job — the
+    round-5 A/B measured it as pure overhead there — while split
+    layouts engage it for files the envelope can't clear."""
+    # monolithic: disjoint-range files, localized churn → carries via
+    # the envelope alone, probe_ran stays False
+    mono = _make(spark, tmp_path, "mono")
+    for lo in (0, 1000):
+        mono.append(_payload(spark, _ids(lo, lo + 200), seq=1).drop("op"))
+    mono.merge_into(_payload(spark, _ids(1000, 1010), seq=2), batch_id=1)
+    info = mono.last_merge_info
+    assert info["probe_ran"] is False
+    assert info["files_carried"] > 0
+    # monolithic + envelope-overlapping batch: still no probe, no carry
+    mono.merge_into(
+        _mixed(spark, [("doc_000000", 3, "U"), ("doc_001199", 3, "U")]),
+        batch_id=2,
+    )
+    assert mono.last_merge_info["probe_ran"] is False
+
+    # split layout: a batch whose envelope spans the whole key range but
+    # whose keys are sparse — the exact probe carries the in-envelope
+    # gaps the envelope test cannot
+    split = _make(spark, tmp_path, "gating_split", num_buckets=2,
+                  max_file_rows=100)
+    split.append(_payload(spark, _ids(0, 1000), seq=1).drop("op"))
+    split.merge_into(
+        _mixed(spark, [("doc_000001", 2, "U"), ("doc_000998", 2, "U")]),
+        batch_id=1,
+    )
+    info = split.last_merge_info
+    assert info["probe_ran"] is True
+    assert info["files_carried"] > 0
+    assert info["files_rewritten"] < info["files_candidate"]
+    s = _state(split)
+    assert len(s) == 1000
+    assert s["doc_000001"][1] == 2 and s["doc_000998"][1] == 2
+
+
 def test_pruning_across_rebucket_generations(spark, tmp_path):
     t = _make(spark, tmp_path, "rb", num_buckets=2)
     t.append(_payload(spark, _ids(0, 200), seq=1).drop("op"))
