@@ -246,9 +246,15 @@ def semantic_dedup(
     per input: (id, cluster_id, keep).
 
     Scale: the clustering bounds the all-pairs blowup per cluster —
-    expected cluster size ≈ stride, so pair work ≈ N·stride, not N²
-    (√N centroids → N^1.5 total, SemDeDup's own envelope); set
-    ``centroid_stride`` so a cluster's vectors fit an executor. The
+    expected cluster size ≈ stride, so pair work ≈ N·stride. The
+    ASSIGNMENT term is the one to watch: N/stride hash-sampled
+    centroids make the broadcast argmax cost N·(N/stride) dots —
+    quadratic at FIXED stride. Scale ``centroid_stride`` ∝ √N to sit
+    on SemDeDup's own N^1.5 envelope (√N centroids, √N-sized
+    clusters); the round-5 sf1 sweep measured stride 32→101 at 20k
+    vectors cutting wall clock 2.6× with the survivor set essentially
+    unchanged (BENCH/NOTES.md round 5). Also size stride so a
+    cluster's vectors fit an executor. The
     self-join shuffles on cid with the staged norms riding along; every
     pair then costs one dot + one divide. Keep rule: min id per
     near-dup pair — deterministic, order-free, consistent with the text
