@@ -164,7 +164,12 @@ def _ivf_assign(
     — the persisted (id, vector, staged norm) table, the broadcast
     deterministic hash-sampled centroid table (with the empty-sample
     fallback folded into the plan), and the per-row nearest-centroid
-    assignment carrying (id, vector, _nrm, cid)."""
+    assignment carrying (id, vector, _nrm, cid).
+
+    Cost note: hash sampling yields N/stride centroids, so the
+    assignment argmax does N·(N/stride) dots — quadratic at FIXED
+    stride. Scale ``centroid_stride`` ∝ √N to stay on the N^1.5
+    envelope (measured in the round-5 sf1 sweep, BENCH/NOTES.md)."""
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
     # norms staged once per row / per centroid BELOW the assignment cross
     # join — otherwise every (row, centroid) pair recomputes both HOF
