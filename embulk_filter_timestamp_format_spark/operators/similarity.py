@@ -22,6 +22,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -93,7 +95,7 @@ def ivf_topk(
     df: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    centroid_stride: int = 64,
+    centroid_stride: "int | None" = 64,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -154,7 +156,7 @@ def ivf_topk(
 
 def _ivf_assign(
     df: DataFrame,
-    centroid_stride: int,
+    centroid_stride: "int | None",
     id_col: str,
     vec_col: str,
     persist_intermediate: bool,
@@ -169,7 +171,11 @@ def _ivf_assign(
     Cost note: hash sampling yields N/stride centroids, so the
     assignment argmax does N·(N/stride) dots — quadratic at FIXED
     stride. Scale ``centroid_stride`` ∝ √N to stay on the N^1.5
-    envelope (measured in the round-5 sf1 sweep, BENCH/NOTES.md)."""
+    envelope (measured in the round-5 sf1 sweep, BENCH/NOTES.md).
+    Pass ``centroid_stride=None`` to do exactly that: stride = ⌈√N⌉
+    from one count() over the persisted build table (an action the
+    pipeline pays anyway to populate the cache; deterministic given
+    the input, so re-running the query re-derives the same plan)."""
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
     # norms staged once per row / per centroid BELOW the assignment cross
     # join — otherwise every (row, centroid) pair recomputes both HOF
@@ -185,6 +191,12 @@ def _ivf_assign(
     from .cache import register_persist
 
     base = register_persist(base, persist_intermediate)
+    if centroid_stride is None:
+        # auto mode: stride = ceil(sqrt(N)) — √N centroids and √N-sized
+        # clusters, the N^1.5 envelope. The count doubles as the cache
+        # populator for the persisted build table.
+        n = base.count()
+        centroid_stride = max(1, math.isqrt(max(n - 1, 0)) + 1)
     # centroid sample with the empty-sample fallback folded INTO the plan:
     # small datasets / stride > N can leave the hash sample empty, and an
     # empty centroid table would silently return zero neighbors
@@ -238,7 +250,7 @@ def _ivf_assign(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
-    centroid_stride: int = 64,
+    centroid_stride: "int | None" = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist_intermediate: bool = True,

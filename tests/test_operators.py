@@ -243,6 +243,34 @@ def test_semantic_dedup_matches_python_twin(spark, emb):
         assert got[i] == (assign[i], i not in dup), i
 
 
+def test_semantic_dedup_auto_stride_matches_explicit_sqrt(spark, emb):
+    """centroid_stride=None derives stride = ceil(sqrt(N)) from one
+    count over the persisted build table — the N^1.5-envelope setting
+    the round-5 sweep measured. Auto mode must be exactly the explicit
+    sqrt call, and deterministic across invocations."""
+    import math as m
+
+    n = emb.count()
+    stride = m.isqrt(n - 1) + 1
+    auto = sorted(
+        tuple(r) for r in S.semantic_dedup(
+            emb, threshold=0.4, centroid_stride=None
+        ).collect()
+    )
+    explicit = sorted(
+        tuple(r) for r in S.semantic_dedup(
+            emb, threshold=0.4, centroid_stride=stride
+        ).collect()
+    )
+    assert auto == explicit
+    # ivf_topk shares the build path; auto mode must return full-shape
+    # ranked neighbors there too
+    qids = [r["vec_id"] for r in emb.limit(2).collect()]
+    out = S.ivf_topk(emb, qids, k=3, centroid_stride=None, nprobe=4).collect()
+    assert {r["query_id"] for r in out} == set(qids)
+    assert all(1 <= r["rank"] <= 3 for r in out)
+
+
 def test_semantic_dedup_empty_centroid_fallback(spark, emb):
     """stride > N leaves the hash sample empty → the folded min-hash
     fallback makes one cluster of everything; keep-set = exact near-dup
