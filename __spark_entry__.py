@@ -28,16 +28,49 @@ from embulk_filter_timestamp_format_spark.lake import changelog_diff
 from embulk_filter_timestamp_format_spark.streaming.cdc import dedup_latest
 
 
+# r06 guide-§2.5/§6 fix: each sf table is ONE parquet file (sf1.0 events
+# = 16 MB), i.e. 1-2 input splits at the default 128 MB maxPartitionBytes
+# — so every per-row-heavy projection (regex parse, shingle/sketch HOFs,
+# dot products) ran near-serial regardless of core count. Spread the scan
+# over the session's shuffle width by hashing the unique id — one slim
+# exchange, deterministic (no round-robin), with an EXPLICIT partition
+# count so AQE's coalescing does not fold the fan-out back to one task.
+# Scale-adaptive: a table whose scan already yields >= that many splits
+# is left untouched (the partition count per path is a plan attribute,
+# memoized; no data or results are cached).
+_SCAN_PARTS: dict[str, int] = {}
+
+
+def _spread_width(spark: SparkSession) -> int:
+    try:
+        return max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            spark.sparkContext.defaultParallelism,
+        )
+    except Exception:
+        return spark.sparkContext.defaultParallelism
+
+
+def _read_spread(spark: SparkSession, path: str, id_col: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    n = _SCAN_PARTS.get(path)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS[path] = n
+    target = _spread_width(spark)
+    return df.repartition(target, F.col(id_col)) if n < target else df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _read_spread(spark, f"{sf_dir}/events.parquet", "event_id")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
 
 
 def _ts_nanos(col):

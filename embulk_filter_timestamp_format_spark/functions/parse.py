@@ -1293,11 +1293,48 @@ class TimestampParserPlan:
                 not _wscg_enabled() or single_layout is not None
             )
         if not fast:
-            stage = {
-                f"__pf{i}__{tag}": e
-                for i, e in enumerate(self.format_exprs(col))
-            }
-            return [stage], list(stage)
+            # r06: staged regex shape for the WSCG-on / non-UTC path too.
+            # The old one-projection form inlined each format's SELF-
+            # CONTAINED parse expression, whose field references sit in
+            # conditional contexts where subexpression elimination does
+            # not apply — the regex re-executed per field reference
+            # (~#fields× per row, ~12 regex runs/row for the 2-format
+            # cascade: measured 23.8 s at sf1.0). Staging mk (one
+            # regexp_replace) and pt (one split) per format runs each
+            # format's regex AT MOST once per row, and gating format i's
+            # mk on formats j<i having assembled NULL skips later
+            # formats for already-parsed rows (first-match-wins makes
+            # them irrelevant — same gating discipline as the fast
+            # shape's ft gate, only keyed on the assembled __pf columns).
+            stages = []
+            names = []
+            prev: list[str] = []
+            for i, pf in enumerate(self.parsed):
+                name, mk, pt = (
+                    f"__pf{i}__{tag}", f"__mk{i}__{tag}", f"__pt{i}__{tag}"
+                )
+                pattern, flds = build_regex(pf)
+                repl = _MARK + _SEP.join(f"${j + 1}" for j in range(len(flds)))
+                regex = F.regexp_replace(col, pattern, repl)
+                gate = None
+                for p in prev:
+                    g = F.col(p).isNull()
+                    gate = g if gate is None else gate & g
+                stages.append({mk: regex if gate is None else F.when(gate, regex)})
+                stages.append(
+                    {pt: F.split(F.substring(F.col(mk), 2, 1_000_000), _SEP, -1)}
+                )
+                stages.append(
+                    {
+                        name: format_parse_expr(
+                            col, pf, self.from_timezone,
+                            staged=(F.col(mk), F.col(pt)),
+                        )
+                    }
+                )
+                names.append(name)
+                prev.append(name)
+            return stages, names
         if single_layout is not None:
             name = f"__pf0__{tag}"
             ft = format_parse_expr(

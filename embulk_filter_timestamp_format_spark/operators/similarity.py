@@ -28,18 +28,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
-    return F.aggregate(
+def _dot(a, b, dim: "int | None" = None):
+    """Float64 dot product, left-to-right accumulation.
+
+    Higher-order functions (zip_with/aggregate) are CodegenFallback in
+    Spark — every element evaluates through the interpreted expression
+    walker, which made the IVF assignment's N·C pair loop the top cost
+    of the whole bench at sf1.0 (255 s). With ``dim`` known, the fold is
+    unrolled into the equivalent left-deep Add chain over GetArrayItem —
+    plain codegen arithmetic, bit-identical to the fold (same operand
+    order: ((0.0 + a0·b0) + a1·b1) + …, same per-element cast-to-double
+    and null propagation) — guarded on both sizes equalling ``dim``;
+    any other row falls back to the original HOF fold."""
+    hof = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    if dim is None:
+        return hof
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i].cast("double") * b[i].cast("double")
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(hof)
 
 
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
+def _norm(a, dim: "int | None" = None):
+    hof = F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    if dim is None:
+        return F.sqrt(hof)
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i].cast("double") * a[i].cast("double")
+    return F.sqrt(F.when(F.size(a) == dim, acc).otherwise(hof))
+
+
+def _peek_dim(df: DataFrame, vec_col: str) -> "int | None":
+    """Vector width from the first row — one LIMIT-1 job (a bounded
+    control-plane read, same class as the engine's skew probe), enabling
+    the codegen dot/norm unroll. Rows of any OTHER width still compute
+    through the guarded HOF fallback, so the peek is a pure optimization
+    hint, never a correctness assumption."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    d = row["d"] if row is not None else None
+    return int(d) if d is not None and d > 0 else None
 
 
 def cosine(a, b):
@@ -66,8 +98,9 @@ def cosine_topk(
     # — cosine() inline would recompute both HOF norms per (row, query)
     # pair (|queries|× redundant work on the big side); dot/(nrm*qnrm) is
     # op-for-op the SQL oracle's arithmetic
+    dim = _peek_dim(df, vec_col)
     base = df.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col), dim).alias("_nrm")
     )
     q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
@@ -75,7 +108,7 @@ def cosine_topk(
         F.col("_nrm").alias("_qnrm"),
     )
     pairs = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
-    sim = _dot(F.col("qv"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm"))
+    sim = _dot(F.col("qv"), F.col(vec_col), dim) / (F.col("_qnrm") * F.col("_nrm"))
     scored = pairs.select(
         "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 6).alias("cos_sim")
     )
@@ -117,8 +150,9 @@ def ivf_topk(
     nprobe (= 1.0 when nprobe ≥ num centroids)."""
     from pyspark.sql.window import Window
 
+    dim = _peek_dim(df, vec_col)
     base, cents, assigned = _ivf_assign(
-        df, centroid_stride, id_col, vec_col, persist_intermediate
+        df, centroid_stride, id_col, vec_col, persist_intermediate, dim=dim
     )
 
     q = base.filter(F.col(id_col).isin(query_ids)).select(
@@ -127,7 +161,7 @@ def ivf_topk(
         F.col("_nrm").alias("_qnrm"),
     )
     qsim = F.round(
-        _dot(F.col("qv"), F.col("cv")) / (F.col("_qnrm") * F.col("_cnrm")), 6
+        _dot(F.col("qv"), F.col("cv"), dim) / (F.col("_qnrm") * F.col("_cnrm")), 6
     )
     qc = q.join(cents).select("query_id", "qv", "_qnrm", "cid", qsim.alias("csim"))
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
@@ -141,7 +175,7 @@ def ivf_topk(
         F.col(id_col) != F.col("query_id")
     )
     sim = F.round(
-        _dot(F.col("qv"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm")), 6
+        _dot(F.col("qv"), F.col(vec_col), dim) / (F.col("_qnrm") * F.col("_nrm")), 6
     )
     scored = cand.select(
         "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim")
@@ -160,6 +194,7 @@ def _ivf_assign(
     id_col: str,
     vec_col: str,
     persist_intermediate: bool,
+    dim: "int | None" = None,
 ):
     """The IVF build stage shared by ``ivf_topk`` (probe path) and
     ``semantic_dedup`` (prune path): returns ``(base, cents, assigned)``
@@ -181,9 +216,21 @@ def _ivf_assign(
     # join — otherwise every (row, centroid) pair recomputes both HOF
     # norms (num_centroids× redundant work on the big side); the staged
     # arithmetic (dot / (nrm_row * nrm_cent)) is op-for-op the oracle's
+    if dim is None:
+        dim = _peek_dim(df, vec_col)
     base = df.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col), dim).alias("_nrm")
     )
+    # spread a narrow scan before the N·C assignment stage: a single-file
+    # vector table is 1-2 input splits, which left the (broadcast-join)
+    # pair loop running on as many tasks — near-serial at any core count.
+    # Explicit partition count so AQE cannot coalesce the fan-out;
+    # deterministic hash on the id (not round-robin). Skipped when the
+    # input is already at least that parallel.
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, F.col(id_col))
     # the (id, vector, norm) table is the IVF build artifact — it is
     # read by the centroid sample, the assignment join, the probe
     # side, and the candidate re-rank; uncached, each branch re-scans
@@ -227,7 +274,7 @@ def _ivf_assign(
     )
 
     csim = F.round(
-        _dot(F.col(vec_col), F.col("cv")) / (F.col("_nrm") * F.col("_cnrm")), 6
+        _dot(F.col(vec_col), F.col("cv"), dim) / (F.col("_nrm") * F.col("_cnrm")), 6
     )
     scored_c = base.join(cents).select(id_col, F.col("cid"), csim.alias("csim"))
     # argmax as max + join-back + min — three fixed-width HashAggregates
@@ -278,8 +325,9 @@ def semantic_dedup(
     dedup family (the paper keeps the lowest-centroid-similarity
     exemplar; the canonical-id rule needs no second similarity pass and
     is oracle-exact)."""
+    dim = _peek_dim(df, vec_col)
     _, _, assigned = _ivf_assign(
-        df, centroid_stride, id_col, vec_col, persist_intermediate
+        df, centroid_stride, id_col, vec_col, persist_intermediate, dim=dim
     )
     a = assigned.select(
         "cid",
@@ -293,7 +341,7 @@ def semantic_dedup(
         F.col(vec_col).alias("_vb"),
         F.col("_nrm").alias("_nb"),
     )
-    sim = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    sim = F.round(_dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb")), 6)
     dups = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -340,10 +388,11 @@ def embedding_neardup_pairs(
     Reference parity note: the reference plugin has no similarity ops —
     this is a north-rule training-data-pipeline addition (SURVEY §2.2).
     """
+    vdim = _peek_dim(df, vec_col)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        _norm(F.col(vec_col)).alias("_nrm"),
+        _norm(F.col(vec_col), vdim).alias("_nrm"),
     )
     if method == "exact":
         # candidate (id_a < id_b) pairs generated from SLIM id rows — the
@@ -355,7 +404,7 @@ def embedding_neardup_pairs(
         cand = ids.select(F.col("_id").alias("id_a")).join(
             ids.select(F.col("_id").alias("id_b")), F.col("id_a") < F.col("id_b")
         )
-        return _verify_pairs(cand, base, threshold)
+        return _verify_pairs(cand, base, threshold, dim=vdim)
     if method != "lsh":
         raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
 
@@ -364,7 +413,9 @@ def embedding_neardup_pairs(
         sig = None
         for j in range(planes_per_band):
             plane = _pseudo_plane(dim, band * planes_per_band + j, seed)
-            bit = F.when(_dot(F.col("_v"), plane) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+            bit = F.when(
+                _dot(F.col("_v"), plane, vdim) >= 0, F.lit(2**j)
+            ).otherwise(F.lit(0))
             sig = bit if sig is None else sig + bit
         sigs.append(F.struct(F.lit(band).alias("band"), sig.cast("long").alias("bucket")))
     slim = base.select(
@@ -379,10 +430,12 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verify_pairs(cand, base, threshold)
+    return _verify_pairs(cand, base, threshold, dim=vdim)
 
 
-def _verify_pairs(cand: DataFrame, base: DataFrame, threshold: float) -> DataFrame:
+def _verify_pairs(
+    cand: DataFrame, base: DataFrame, threshold: float, dim: "int | None" = None
+) -> DataFrame:
     """Exact-cosine verify of candidate (id_a, id_b) pairs: vectors
     hash-join back once per pair; the similarity is computed in a
     PROJECTION above the join and the threshold filter references only
@@ -397,7 +450,7 @@ def _verify_pairs(cand: DataFrame, base: DataFrame, threshold: float) -> DataFra
 
     a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
-    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = _dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
     joined = cand.join(a, "id_a").join(b, "id_b")
     return scored_above(joined, ["id_a", "id_b"], sim, "__sim", threshold).select(
         "id_a", "id_b", F.round("__sim", 6).alias("cos_sim")
@@ -439,10 +492,13 @@ def lsh_ann_topk(
     that Hamming distance of the query's bucket (recall/cost dial; at
     cluster scale raise num_planes with table size and keep the probed
     fraction of bucket space roughly constant)."""
+    vdim = _peek_dim(df, vec_col)
     planes = [_pseudo_plane(dim, p, seed) for p in range(num_planes)]
     sig = None
     for p, plane in enumerate(planes):
-        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        bit = F.when(
+            _dot(F.col(vec_col), plane, vdim) >= 0, F.lit(2**p)
+        ).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     # row norms staged with the signature — the exact re-rank below costs
     # one dot + one divide per candidate instead of recomputing both HOF
@@ -450,7 +506,7 @@ def lsh_ann_topk(
     base = df.select(
         F.col(id_col),
         F.col(vec_col),
-        _norm(F.col(vec_col)).alias("_nrm"),
+        _norm(F.col(vec_col), vdim).alias("_nrm"),
         sig.cast("long").alias("bucket"),
     )
 
@@ -473,7 +529,7 @@ def lsh_ann_topk(
     qx = q.select("query_id", "qv", "_qnrm", F.explode(probes).alias("bucket"))
 
     cand = base.join(F.broadcast(qx), "bucket").filter(F.col(id_col) != F.col("query_id"))
-    sim = _dot(F.col("qv"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm"))
+    sim = _dot(F.col("qv"), F.col(vec_col), vdim) / (F.col("_qnrm") * F.col("_nrm"))
     scored = cand.select(
         "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 6).alias("cos_sim")
     ).dropDuplicates(["query_id", "neighbor_id"])
