@@ -61,8 +61,18 @@ def _read_spread(spark: SparkSession, path: str, id_col: str) -> DataFrame:
     return df.repartition(target, F.col(id_col)) if n < target else df
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _read_spread(spark, f"{sf_dir}/events.parquet", "event_id")
+def _events(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    # spread on user_id, not event_id: every CDC consumer (dedup-latest
+    # window, merge, changelog, sessionize, as-of) hash-partitions by
+    # user_id at the same shuffle width, so EnsureRequirements recognises
+    # the fan-out exchange as already satisfying the window/join
+    # requirement and no second shuffle is added. spread=False for the
+    # few trivial-projection queries whose per-row work is cheaper than
+    # one exchange (epoch_units, unit_change) and for the append-bound
+    # time-scan build.
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _read_spread(spark, f"{sf_dir}/events.parquet", "user_id")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +122,7 @@ def q_tsfmt_parse_roundtrip(spark, sf_dir):
 
 def q_tsfmt_epoch_units(spark, sf_dir):
     """instant → epoch long/double at several units (ops 11-12)."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, spread=False)
     nanos = _ts_nanos(F.col("ts"))
     return ev.select(
         F.col("event_id"),
@@ -125,7 +135,7 @@ def q_tsfmt_epoch_units(spark, sf_dir):
 
 def q_tsfmt_unit_change(spark, sf_dir):
     """long epoch unit rescale with trunc-toward-zero downscale (op 12)."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, spread=False)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     return ev.select(
         F.col("event_id"),
@@ -844,7 +854,7 @@ def q_cdc_time_scan(spark, sf_dir):
 
     from embulk_filter_timestamp_format_spark.lake import IceTable
 
-    ev = _events(spark, sf_dir).select(
+    ev = _events(spark, sf_dir, spread=False).select(
         "event_id", "ts", "user_id", "event_type", F.round("value", 6).alias("value")
     )
     root = tempfile.mkdtemp(prefix="efts_time_scan_")

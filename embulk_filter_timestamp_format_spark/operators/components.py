@@ -57,6 +57,13 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # materialize the edge list ONCE (r06): ``und`` is consumed by every
+    # round's propagation join, and when ``edges`` is itself an expensive
+    # pipeline (the MinHash-LSH candidate+verify pass feeding
+    # dedup_components) each round re-executed that whole pipeline —
+    # measured ~4 s x rounds at sf1.0. Same eager localCheckpoint
+    # discipline as the per-round label tables.
+    und = und.localCheckpoint(eager=True)
     verts = und.select(F.col("a").alias("node")).distinct()
     if nodes is not None:
         vcol = nodes.columns[0]

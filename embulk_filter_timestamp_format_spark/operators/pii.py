@@ -67,6 +67,7 @@ def pii_signals(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_scrubbed: bool = False,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Per-document PII hit counts: (id, email_count, ipv4_count,
     phone_count, pii_total[, scrubbed]). Counting uses the same
@@ -75,13 +76,27 @@ def pii_signals(
     inserts (an IP inside an email, say, is counted once, as the
     email). ``keep_scrubbed`` also returns the fully-masked text —
     it is already computed as the last masking stage, so this is
-    free (signals + redaction in one pass instead of two scans)."""
+    free (signals + redaction in one pass instead of two scans).
+
+    r06 perf note: each masked intermediate is materialized through the
+    operator persist registry. A regex pass over the CHAINED output of a
+    previous ``regexp_replace`` in the same codegen stage measured ~8x
+    slower than the identical pass over a materialized column (3.3 s vs
+    0.4 s per stage at sf1.0; content-equivalence and WSCG on/off ruled
+    out as causes — see OPTIMIZATION_r06.md). Values are unchanged: the
+    barrier only changes where the intermediate lives. Pass
+    ``persist_intermediate=False`` to keep the operator side-effect-free
+    (the registry discipline of operators/cache.py)."""
+    from .cache import register_persist
+
     out = df.select(F.col(id_col), F.col(text_col).alias("_t"))
     counts = []
-    for name, pattern, repl in PII_PATTERNS:
+    for i, (name, pattern, repl) in enumerate(PII_PATTERNS):
         out = out.withColumn(f"{name}_count", _count(F.col("_t"), pattern))
         out = out.withColumn("_t", F.regexp_replace(F.col("_t"), pattern, repl))
         counts.append(f"{name}_count")
+        if i < len(PII_PATTERNS) - 1:
+            out = register_persist(out, persist_intermediate)
     total = sum((F.col(c) for c in counts[1:]), F.col(counts[0]))
     tail = [F.col("_t").alias("scrubbed")] if keep_scrubbed else []
     return out.select(id_col, *counts, total.alias("pii_total"), *tail)

@@ -277,20 +277,33 @@ def _ivf_assign(
         _dot(F.col(vec_col), F.col("cv"), dim) / (F.col("_nrm") * F.col("_cnrm")), 6
     )
     scored_c = base.join(cents).select(id_col, F.col("cid"), csim.alias("csim"))
-    # argmax as max + join-back + min — three fixed-width HashAggregates
-    # and a slim join (max(struct) / max_by(struct ordering) both compile
-    # to SortAggregate, sorting the big side); ties broken toward the
-    # smaller cid to match the SQL oracle's ORDER BY
-    best_sim = scored_c.groupBy(id_col).agg(F.max("csim").alias("csim"))
+    # argmax as one row_number window (r06). The previous max +
+    # join-back + min shape consumed scored_c TWICE — the join on
+    # [id, csim] partitions differently from the aggregate's exchange,
+    # so nothing was reused and the N·C assignment cross join evaluated
+    # twice per run. The window shuffles the same N·C slim rows once and
+    # evaluates the cross join once. Ordering (csim DESC, cid ASC)
+    # reproduces the exact tie rule (max similarity, then smaller cid =
+    # the SQL oracle's ORDER BY); NULL csim rows are dropped first, as
+    # the old join-back (null never equals the aggregated max) did.
+    from pyspark.sql.window import Window as _W
+
+    wb = _W.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
     best = (
-        scored_c.join(best_sim, [id_col, "csim"])
-        .groupBy(id_col)
-        .agg(F.min("cid").alias("cid"))
+        scored_c.filter(F.col("csim").isNotNull())
+        .withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cid")
     )
     # downstream consumers keep the staged row norm — cosine() inline
     # there would recompute both HOF norms per candidate pair (the
-    # assignment above already demonstrates the staged shape)
+    # assignment above already demonstrates the staged shape). The
+    # assignment table is itself persisted: semantic_dedup reads it
+    # three times (both pair sides + the output spine) and ivf_topk's
+    # probe/re-rank path once more — uncached, each read re-ran the
+    # whole N·C assignment.
     assigned = base.select(id_col, vec_col, "_nrm").join(best, id_col)
+    assigned = register_persist(assigned, persist_intermediate)
     return base, cents, assigned
 
 
@@ -325,27 +338,41 @@ def semantic_dedup(
     dedup family (the paper keeps the lowest-centroid-similarity
     exemplar; the canonical-id rule needs no second similarity pass and
     is oracle-exact)."""
+    from .barrier import scored_above
+
     dim = _peek_dim(df, vec_col)
     _, _, assigned = _ivf_assign(
         df, centroid_stride, id_col, vec_col, persist_intermediate, dim=dim
     )
+    # r06 pair-stage discipline:
+    # * pushdown barrier — filtering on the cosine directly after the
+    #   cid self-join pushed the dot-product predicate INTO the join
+    #   condition, where it evaluates interpreted per candidate pair
+    #   (operators/barrier.py); scored_above stages it in a codegen
+    #   projection instead.
+    # * salted self-join — duplicate-heavy corpora assign all copies to
+    #   one centroid, so one cluster's m^2 pair loop landed on a single
+    #   task; chunking the probe side by hash(id) mod cores and
+    #   replicating the build side spreads it without changing the pair
+    #   multiset.
+    salt = df.sparkSession.sparkContext.defaultParallelism
     a = assigned.select(
         "cid",
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
         F.col("_nrm").alias("_na"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).alias("__chunk"),
     )
     b = assigned.select(
         "cid",
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
         F.col("_nrm").alias("_nb"),
-    )
-    sim = F.round(_dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb")), 6)
+    ).withColumn("__chunk", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    sim = _dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb"))
+    pairs = a.join(b, ["cid", "__chunk"]).filter(F.col("id_a") < F.col("id_b"))
     dups = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim >= F.lit(threshold))
+        scored_above(pairs, ["id_b"], F.round(sim, 6), "__sim", threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -413,9 +440,11 @@ def embedding_neardup_pairs(
         sig = None
         for j in range(planes_per_band):
             plane = _pseudo_plane(dim, band * planes_per_band + j, seed)
-            bit = F.when(
-                _dot(F.col("_v"), plane, vdim) >= 0, F.lit(2**j)
-            ).otherwise(F.lit(0))
+            # literal-plane dots stay on the HOF fold: measured 2x FASTER
+            # than the unrolled chain here (many fused 64-term chains in
+            # one projection exceed JIT-friendly method size), unlike the
+            # vector-x-vector pair dots where the unroll wins 3.3x
+            bit = F.when(_dot(F.col("_v"), plane) >= 0, F.lit(2**j)).otherwise(F.lit(0))
             sig = bit if sig is None else sig + bit
         sigs.append(F.struct(F.lit(band).alias("band"), sig.cast("long").alias("bucket")))
     slim = base.select(
@@ -496,9 +525,8 @@ def lsh_ann_topk(
     planes = [_pseudo_plane(dim, p, seed) for p in range(num_planes)]
     sig = None
     for p, plane in enumerate(planes):
-        bit = F.when(
-            _dot(F.col(vec_col), plane, vdim) >= 0, F.lit(2**p)
-        ).otherwise(F.lit(0))
+        # literal-plane dots: HOF fold (see embedding_neardup_pairs note)
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     # row norms staged with the signature — the exact re-rank below costs
     # one dot + one divide per candidate instead of recomputing both HOF
