@@ -37,6 +37,12 @@ from pyspark.sql import functions as F
 from .text import fingerprint_md5, normalized, words
 
 
+def _use_arrow() -> bool:
+    from .sketch_np import use_arrow_sketches
+
+    return use_arrow_sketches()
+
+
 def _maybe_persist(df: DataFrame, enabled: bool) -> DataFrame:
     """Persist a slim intermediate (MEMORY_AND_DISK) so the self-join
     branches and the verify join-backs read it instead of recomputing the
@@ -232,6 +238,16 @@ def minhash_signature(sh_col, num_hashes: int = 32, seed: int = 7, hash_scheme: 
     if hash_scheme == "xxhash":
         seeds = F.array(*[F.lit(seed + i) for i in range(num_hashes)])
         perm = lambda s, p: F.xxhash64(s, p)  # noqa: E731
+    elif _use_arrow():
+        # r06: the fold below is CodegenFallback (interpreted per
+        # element, fresh k-array accumulator per step — ~5 ms core time
+        # per document at sf1.0); the numpy twin computes bit-identical
+        # values vectorized over Arrow batches (guide §4.2). Catalyst
+        # fold retained behind SPARK_GRAFT_SKETCH_ENGINE=catalyst and
+        # pinned equivalent in tests/test_sketch_np.py.
+        from .sketch_np import minhash_signature_np
+
+        return minhash_signature_np(sh_col, num_hashes, seed)
     else:
         params = F.array(
             *[
@@ -271,7 +287,13 @@ def minhash_lsh_pairs(
     the md5-derived shingle keys) the ENTIRE output — candidate
     generation included — is reproducible in DuckDB SQL AND it is the
     cheapest scheme; see the minhash_lsh oracle in __spark_entry__."""
+    from .cache import spread_scan
+
     rows = num_hashes // bands
+    # r06: lake-table snapshots read as one file per bucket — without a
+    # fan-out the shingle+signature extraction runs on ~num_buckets
+    # tasks (see cache.spread_scan; no-op for already-parallel inputs)
+    df = spread_scan(df, id_col)
     base = df.select(
         F.col(id_col), shingle_keys(F.col(text_col), n).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed, hash_scheme))
@@ -346,7 +368,16 @@ def simhash60(hashes):
     word hashes. ONE traversal of the hash array — a single `aggregate`
     with an array-of-60-counters accumulator (zip_with add per element) —
     instead of 60 separate aggregate passes; the plan is one expression
-    node, so whole-stage codegen never sees a 60-branch tree."""
+    node, so whole-stage codegen never sees a 60-branch tree.
+
+    r06: that fold is still CodegenFallback — interpreted, ~60 inner
+    lambda evaluations per array element. The numpy twin (bit unpack +
+    per-row segment sums over Arrow batches) computes the identical
+    sketch and is the default; see sketch_np.py."""
+    if _use_arrow():
+        from .sketch_np import simhash60_np
+
+        return simhash60_np(hashes)
     weights = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
     zeros = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
     counts = F.aggregate(
@@ -399,7 +430,11 @@ def simhash_pairs(
     mask = (1 << band_bits) - 1
 
     # sketch table materialized ONCE (persist before the emptiness
-    # filter — see _maybe_persist); both band-join branches read it
+    # filter — see _maybe_persist); both band-join branches read it.
+    # spread_scan: see minhash_lsh_pairs (no-op for parallel inputs)
+    from .cache import spread_scan
+
+    df = spread_scan(df, id_col)
     s = (
         df.select(F.col(id_col), word_hashes60(F.col(text_col)).alias("wh"))
         .select(id_col, F.size("wh").alias("__n"), simhash60(F.col("wh")).alias("sim"))

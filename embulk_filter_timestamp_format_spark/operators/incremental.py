@@ -137,7 +137,14 @@ def incremental_dedup_pass(
     )
     deleted = ch.filter(F.col("_change_type") == "delete").select(F.col(id_col))
 
-    new_sigs = changed.select(
+    # r06: the changelog diff surfaces ≤ num_buckets-ish partitions, so
+    # the shingle+signature extraction below would run near-serial at
+    # any core count — fan the changed rows out first (values unchanged;
+    # no-op when the diff is already parallel). Same fix for the verify
+    # re-shingle further down.
+    from .cache import spread_scan
+
+    new_sigs = spread_scan(changed, id_col).select(
         F.col(id_col),
         shingle_keys(F.col(text_col), n).alias("sh"),
         F.col(seq_col),
@@ -179,7 +186,7 @@ def incremental_dedup_pass(
     # persist: both pair sides (id_a and id_b joins) read this frame —
     # uncached, the corpus scan + shingle extraction would run twice
     cand_sh = (
-        state.join(F.broadcast(ids), id_col)
+        spread_scan(state.join(F.broadcast(ids), id_col), id_col)
         .select(F.col(id_col), shingle_keys(F.col(text_col), n).alias("sh"))
     ).persist()
     pairs = cand.join(

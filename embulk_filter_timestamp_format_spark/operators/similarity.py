@@ -218,19 +218,20 @@ def _ivf_assign(
     # arithmetic (dot / (nrm_row * nrm_cent)) is op-for-op the oracle's
     if dim is None:
         dim = _peek_dim(df, vec_col)
-    base = df.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col), dim).alias("_nrm")
-    )
     # spread a narrow scan before the N·C assignment stage: a single-file
     # vector table is 1-2 input splits, which left the (broadcast-join)
     # pair loop running on as many tasks — near-serial at any core count.
     # Explicit partition count so AQE cannot coalesce the fan-out;
-    # deterministic hash on the id (not round-robin). Skipped when the
-    # input is already at least that parallel.
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target, F.col(id_col))
+    # deterministic hash on the id (not round-robin). r06 follow-up: the
+    # fan-out moved BELOW the select and became unconditional — the old
+    # base.rdd.getNumPartitions() probe executed the upstream exchange
+    # as an extra job under AQE, and an already-spread input now
+    # collapses with this node (CollapseRepartition) instead.
+    from .cache import spread_scan
+
+    base = spread_scan(df, id_col).select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col), dim).alias("_nrm")
+    )
     # the (id, vector, norm) table is the IVF build artifact — it is
     # read by the centroid sample, the assignment join, the probe
     # side, and the candidate re-rank; uncached, each branch re-scans
