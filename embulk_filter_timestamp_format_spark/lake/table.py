@@ -1080,6 +1080,7 @@ class IceTable:
         op_col: str = "op",
         lineage: "dict | None" = None,
         probe_df: "DataFrame | None" = None,
+        probe_rows: "list[tuple] | None" = None,
     ) -> "int | None":
         """Copy-on-write MERGE: `updates` has one row per key with op I/U/D
         (pre-deduped by the caller); I/U upsert the payload, D deletes.
@@ -1088,7 +1089,19 @@ class IceTable:
         ``probe_df``: optional cheap source of the touched keys (e.g. the
         RAW change batch before any transformation) — the touched-bucket
         probe then costs a column-pruned scan instead of executing the
-        whole update plan twice.
+        whole update plan twice. Contract (r06): the probe's key set must
+        equal the batch's key set EXACTLY (a multiset is fine) — the
+        merge also derives the anti-join key set from it, so a probe
+        with extra keys would delete their target rows. Every caller
+        passes the raw rows the batch was built from, which dedup-latest
+        and delete batches preserve key-for-key.
+
+        ``probe_rows``: optional precollected probe result — a list of
+        ``(bucket, key_min, key_max)`` tuples covering every touched
+        bucket (e.g. harvested from a stats aggregate the caller already
+        runs over the raw batch). Skips the probe job entirely; the
+        anti-join keys then come from ``probe_df`` (which is NOT
+        executed as a second full plan — pass a slim raw projection).
 
         Returns the committed version (None for an empty batch; unchanged
         version when the batch id is fenced).
@@ -1125,26 +1138,39 @@ class IceTable:
             # touched-bucket discovery and the file-range intersection —
             # so the probe plan (possibly the whole update pipeline when
             # no probe_df is given) executes once, not twice. persist()
-            # is the right cache here: ≤2 actions, KBs per batch key.
+            # is the right cache here: ≤3 actions, KBs per batch key.
             # The ONE aggregate also returns each touched bucket's batch
             # key ENVELOPE (min/max), so the common pruning case — a
             # file range disjoint from everything the batch touches in
             # its bucket — is decided on the driver for free, without a
-            # second Spark job (see _split_rewrite_files).
+            # second Spark job (see _split_rewrite_files). r06: callers
+            # that already aggregate the raw batch pass probe_rows and
+            # the probe job disappears entirely.
             probe = probe_df if probe_df is not None else updates
-            pk = probe.select(
-                F.col(key).alias("__k"),
-                self._bucket_expr(key, num_buckets).alias("__bucket"),
-            ).persist()
-            bucket_rows = pk.groupBy("__bucket").agg(
-                F.min("__k").alias("__lo"), F.max("__k").alias("__hi")
-            ).collect()
+            pk = None
+            if probe_rows is not None:
+                bucket_rows = [
+                    {"__bucket": b, "__lo": lo, "__hi": hi}
+                    for (b, lo, hi) in probe_rows
+                ]
+            else:
+                pk = probe.select(
+                    F.col(key).alias("__k"),
+                    self._bucket_expr(key, num_buckets).alias("__bucket"),
+                ).persist()
+                bucket_rows = [
+                    r.asDict()
+                    for r in pk.groupBy("__bucket").agg(
+                        F.min("__k").alias("__lo"), F.max("__k").alias("__hi")
+                    ).collect()
+                ]
             touched = {r["__bucket"] for r in bucket_rows}
             envelopes = {
                 r["__bucket"]: (r["__lo"], r["__hi"]) for r in bucket_rows
             }
             if not touched:
-                pk.unpersist()
+                if pk is not None:
+                    pk.unpersist()
                 return None  # empty batch: no commit (re-delivery is a no-op anyway)
             # pre-rebucket files span several current buckets; a rewrite
             # replaces whole files, so close the touched set over file
@@ -1162,29 +1188,47 @@ class IceTable:
                 [f for f in snap["files"] if not f.get("delta")],
                 touched, num_buckets, num_buckets,
             )
+            # tier-2 exact range probe (split layouts only) needs a
+            # (__k, __bucket) frame; when the probe job was skipped via
+            # probe_rows, derive it from the slim probe projection
+            pk_probe = pk if pk is not None else probe.select(
+                F.col(key).alias("__k"),
+                self._bucket_expr(key, num_buckets).alias("__bucket"),
+            )
             try:
                 hit, carry = self._split_rewrite_files(
-                    spec, candidates, pk, envelopes, num_buckets
+                    spec, candidates, pk_probe, envelopes, num_buckets
+                )
+                target = self._read_projected(hit, schema) if hit else None
+
+                # MERGE = (target rows whose key is NOT updated) ∪ (upserts).
+                # The anti-join needs only the update KEYS — broadcastable,
+                # so the target side is filtered with NO shuffle and NO sort
+                # (a full-outer formulation would force a SortMergeJoin of
+                # the wide rows). At billion-key batch scale disable the
+                # broadcast (AQE then picks a shuffled-hash anti join keyed
+                # on doc_id — both sides already hash-partition on it).
+                # r06: the key set comes from the PROBE (cached slim rows,
+                # or the caller's slim raw projection) instead of
+                # re-executing the whole `updates` plan a second time just
+                # for its keys — the probe contract guarantees the sets are
+                # equal. Distinct before the broadcast so a raw multi-event
+                # batch doesn't inflate the build side.
+                upserts = updates.filter(F.col(op_col) != "D").select(*payload_cols)
+                if target is None:
+                    merged = upserts
+                else:
+                    upd_keys = F.broadcast(
+                        pk_probe.select(F.col("__k").alias(key)).distinct()
+                    )
+                    merged = target.join(upd_keys, key, "left_anti").unionByName(upserts)
+
+                entries = self._write_data_files(
+                    merged, key, num_buckets, snap["schema_version"]
                 )
             finally:
-                pk.unpersist()  # hit paths are collected — pk is done
-            target = self._read_projected(hit, schema) if hit else None
-
-            # MERGE = (target rows whose key is NOT updated)  ∪  (upserts).
-            # The anti-join needs only the update KEYS — broadcastable, so the
-            # target side is filtered with NO shuffle and NO sort (a full-outer
-            # formulation would force a SortMergeJoin of the wide rows).
-            # At billion-key batch scale disable the broadcast (AQE then picks
-            # a shuffled-hash anti join keyed on doc_id — both sides already
-            # hash-partition on it).
-            upserts = updates.filter(F.col(op_col) != "D").select(*payload_cols)
-            if target is None:
-                merged = upserts
-            else:
-                upd_keys = F.broadcast(updates.select(key))
-                merged = target.join(upd_keys, key, "left_anti").unionByName(upserts)
-
-            entries = self._write_data_files(merged, key, num_buckets, snap["schema_version"])
+                if pk is not None:
+                    pk.unpersist()  # write executed (or failed) — pk is done
             version = self._try_commit_merge(
                 snap, touched, entries, batch_id, source, lineage,
                 remove_paths={f["path"] for f in hit},

@@ -139,7 +139,7 @@ class CdcPipeline:
         num_source_partitions: int = 8,
         skew_detect: bool = True,
         skew_threshold: float = 0.05,
-        skew_sample_rows: int = 200_000,
+        skew_sample_rows: int = 50_000,
         skew_probe_interval: int = 8,
         record_invalid: bool = True,
         wholestage_codegen: bool = False,
@@ -279,27 +279,81 @@ class CdcPipeline:
         # per-source-partition lineage in the SAME pass (north-rule
         # granularity): partition = key-hash mod P, the assignment a keyed
         # CDC stream (e.g. key-partitioned Kafka topic) would carry. The
-        # groupBy costs nothing extra — P fixed-width groups, map-side
-        # combined; batch totals derive driver-side from ≤ P rows.
-        pstats = [
+        # groupBy costs nothing extra — fixed-width groups, map-side
+        # combined; batch totals derive driver-side from the few rows.
+        #
+        # r06: the SAME aggregate also carries the merge's touched-bucket
+        # probe — grouping additionally by the table's bucket expression
+        # and harvesting each bucket's key envelope (min/max). The merge
+        # then skips its own probe job (probe_rows below), so the raw
+        # batch is scanned ONCE for stats + probe instead of twice.
+        spec = self.table.snapshot()["spec"]
+        t_buckets = spec["num_buckets"]
+        part_col = F.pmod(
+            F.xxhash64("doc_id"), F.lit(self.num_source_partitions)
+        )
+
+        combined = [
             r.asDict()
-            for r in stats_in.withColumn(
-                "__part",
-                F.pmod(F.xxhash64("doc_id"), F.lit(self.num_source_partitions)),
+            for r in stats_in.withColumn("__part", part_col)
+            .withColumn("__bucket", self.table._bucket_expr("doc_id", t_buckets))
+            .groupBy("__part", "__bucket")
+            .agg(
+                *aggs,
+                F.min("doc_id").alias("__lo"),
+                F.max("doc_id").alias("__hi"),
             )
-            .groupBy("__part")
-            .agg(*aggs)
             .collect()
         ]
-        if not pstats:
+
+        # r06: ONE raw-batch aggregate serves lineage stats AND the
+        # merge's touched-bucket probe — the (part x bucket) grid rolls
+        # up to per-part lineage rows driver-side, and each bucket's key
+        # envelope (min/max) goes to merge_into as probe_rows so the
+        # merge runs no probe job of its own. (An overlapped-thread
+        # variant — stats concurrent with the merge write — measured
+        # SLOWER here: the write stages already saturate the cores, so
+        # the stats job contended instead of back-filling, and the merge
+        # had to re-run its own probe. Serial + fused wins.)
+        if not combined:
             return None
+        pstats_by_part: dict = {}
+        env: dict = {}
+        for r in combined:
+            p = pstats_by_part.setdefault(
+                r["__part"],
+                {"__part": r["__part"], "events": 0, "deletes": 0,
+                 "min_offset": None, "max_offset": None,
+                 **({"invalid": 0} if "invalid" in r else {})},
+            )
+            p["events"] += r["events"]
+            p["deletes"] += r["deletes"]
+            if "invalid" in r:
+                p["invalid"] += r["invalid"] or 0
+            p["min_offset"] = (
+                r["min_offset"] if p["min_offset"] is None
+                else min(p["min_offset"], r["min_offset"])
+            )
+            p["max_offset"] = (
+                r["max_offset"] if p["max_offset"] is None
+                else max(p["max_offset"], r["max_offset"])
+            )
+            b = r["__bucket"]
+            lo, hi = env.get(b, (None, None))
+            env[b] = (
+                r["__lo"] if lo is None else min(lo, r["__lo"]),
+                r["__hi"] if hi is None else max(hi, r["__hi"]),
+            )
+        pstats = sorted(pstats_by_part.values(), key=lambda p: p["__part"])
+        probe_rows = [(b, lo, hi) for b, (lo, hi) in env.items()]
         n_bad = sum(r.get("invalid") or 0 for r in pstats)
         if self.task.stop_on_invalid_record and n_bad:
             raise InvalidRecordError(
-                f"batch {batch_id}: {n_bad} unparseable record(s); aborting before commit"
+                f"batch {batch_id}: {n_bad} unparseable record(s); "
+                "aborting before commit"
             )
-
         events = sum(r["events"] for r in pstats)
+
         salt = self.salt_buckets
         if self.skew_detect and not salt:
             if (
@@ -311,8 +365,14 @@ class CdcPipeline:
             self._batches_since_probe += 1
             salt = self._last_salt
 
-        coerced = self.coerce(batch_df)
-        latest = dedup_latest(coerced, salt_buckets=salt)
+        # r06: dedup BEFORE coercion. The coercion is a row-wise
+        # projection that passes doc_id/event_seq through untouched, and
+        # dedup-latest only selects rows by (key, max seq) — so the two
+        # commute and the tsfmt parse runs over the per-key latest rows
+        # only (~1/3 of the raw batch on the headline replay) instead of
+        # every raw event. The maxes aggregate reads raw columns either
+        # way (column pruning keeps the parse out of it).
+        latest = self.coerce(dedup_latest(batch_df, salt_buckets=salt))
         t_dedup = time.time()
 
         updates = latest.select(
@@ -320,15 +380,18 @@ class CdcPipeline:
             "event_time_str", "event_time", "ingest_time_unix", "event_seq",
         )
         lineage = {"batch_id": batch_id, "source": self.source_name}
-        # touched-bucket probe runs on the RAW batch (column-pruned scan of
-        # doc_id only); the coercion+dedup plan executes exactly ONCE, in
-        # the copy-on-write write action
+        # touched buckets + key envelopes ride the stats aggregate above
+        # (probe_rows) — the merge runs NO probe job; the slim raw key
+        # projection is still handed over for the anti-join key set and
+        # the (split-layout-only) exact range probe. The coercion+dedup
+        # plan executes exactly ONCE, in the copy-on-write write action.
         version = self.table.merge_into(
             updates,
             batch_id=batch_id,
             source=self.source_name,
             lineage=lineage,
             probe_df=batch_df.select("doc_id"),
+            probe_rows=probe_rows,
         )
         if version is None:
             return None  # empty batch: nothing merged, nothing committed
