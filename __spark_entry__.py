@@ -62,14 +62,18 @@ def _read_spread(spark: SparkSession, path: str, id_col: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
-    # spread on user_id, not event_id: every CDC consumer (dedup-latest
-    # window, merge, changelog, sessionize, as-of) hash-partitions by
-    # user_id at the same shuffle width, so EnsureRequirements recognises
-    # the fan-out exchange as already satisfying the window/join
-    # requirement and no second shuffle is added. spread=False for the
-    # few trivial-projection queries whose per-row work is cheaper than
-    # one exchange (epoch_units, unit_change) and for the append-bound
-    # time-scan build.
+    # spread on user_id, not event_id: the consumers that keep the
+    # fan-out (changelog, sessionize, as-of, range-join) hash-partition
+    # by user_id at the same shuffle width, so EnsureRequirements
+    # recognises the exchange as already satisfying the window/join
+    # requirement. r06 single-file-layout A/B (plans/r06, OPTIMIZATION
+    # notes): the spread WINS for per-row-heavy projections (the tsfmt
+    # parse/format/json family, 2-5x) and partition-reusing windows, and
+    # LOSES for aggregation-first queries where it forfeits map-side
+    # combine and pre-shuffles full rows (dedup-latest, merge-upsert,
+    # window counts, lineage aggregates, rebucket) - those pass
+    # spread=False, as do the trivial projections (epoch_units,
+    # unit_change) and the append-bound time-scan build.
     if not spread:
         return spark.read.parquet(f"{sf_dir}/events.parquet")
     return _read_spread(spark, f"{sf_dir}/events.parquet", "user_id")
@@ -190,7 +194,7 @@ def q_tsfmt_json_epoch(spark, sf_dir):
 
 
 def q_cdc_dedup_latest(spark, sf_dir):
-    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "value")
+    ev = _events(spark, sf_dir, spread=False).select("user_id", "event_id", "event_type", "value")
     latest = dedup_latest(ev, key="user_id", seq="event_id")
     return latest.select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
 
@@ -199,7 +203,7 @@ def q_cdc_merge_upsert(spark, sf_dir):
     """MERGE semantics as a bounded query: target = latest state from the
     first half of the stream, updates = latest from the second half
     ('error' events are deletes); output = merged state."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, spread=False)
     split = F.col("event_id") < 5000
     base = dedup_latest(
         ev.filter(split).select("user_id", "event_id", "event_type", "value"),
@@ -239,7 +243,7 @@ def q_cdc_rebucket(spark, sf_dir):
 
     from embulk_filter_timestamp_format_spark.lake import IceTable
 
-    ev = _events(spark, sf_dir).select(
+    ev = _events(spark, sf_dir, spread=False).select(
         F.col("user_id").cast("long"),
         F.col("event_id").cast("long"),
         "event_type",
@@ -308,7 +312,7 @@ def q_stream_window_counts(spark, sf_dir):
     streaming variant adds only withWatermark."""
     from embulk_filter_timestamp_format_spark.streaming.windows import windowed_counts
 
-    ev = _events(spark, sf_dir).select(
+    ev = _events(spark, sf_dir, spread=False).select(
         F.col("ts").cast("timestamp").alias("event_time"),
         F.col("event_type"),
     )
@@ -395,7 +399,7 @@ def q_sessionize(spark, sf_dir):
 
 def q_cdc_lineage_stats(spark, sf_dir):
     """Per-micro-batch lineage: offset range + op counts (batch = event_id div 1000)."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, spread=False)
     return (
         ev.groupBy((F.col("event_id") / 1000).cast("long").alias("batch_id"))
         .agg(
@@ -414,7 +418,7 @@ def q_cdc_partition_lineage(spark, sf_dir):
     partition = key-hash mod 8, spelled with the oracle-reproducible
     md5-prefix scheme (the engine itself uses xxhash64 — the assignment
     rule, not the hash, is the contract)."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, spread=False)
     part = F.pmod(
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long"),
         F.lit(8),

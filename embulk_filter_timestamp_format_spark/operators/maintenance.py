@@ -81,6 +81,14 @@ def dedup_pass(
         # keep='min': drop ids = distinct larger side of any pair (slim
         # two-column shuffle; the wide payload joins back only below)
         drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # r06: materialize the slim drop set ONCE and hand it to the merge as
+    # its probe — uncached, the LSH candidate+verify pipeline anchoring
+    # `drops` executed twice more (once for the merge's touched-bucket
+    # probe, once inside the delete-batch write), the single largest cost
+    # of the corpus-dedup maintenance pass at sf1.0. Same discipline as
+    # incremental_dedup_pass.
+    drops = drops.persist()
+    drops.count()
     # the merge reads only (key, seq) of a D row: in COW the key-match
     # deletes; in MOR the tombstone ties the base row's (key, seq) and
     # wins by side-priority (delta-D = highest class). So the drop ids
@@ -103,5 +111,8 @@ def dedup_pass(
         )
         .withColumn("op", F.lit("D"))
     )
-    committed = table.merge_into(deletes, batch_id=batch_id, source=source)
+    committed = table.merge_into(
+        deletes, batch_id=batch_id, source=source, probe_df=drops
+    )
+    drops.unpersist()
     return {"from_version": from_version, "committed_version": committed}
