@@ -341,6 +341,31 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # r06 exact size-ratio prefilter BEFORE the array join-back:
+    # J = I/U with I <= min(|A|,|B|) and U >= max(|A|,|B|), and IEEE
+    # division of exact integers is monotone in each operand, so
+    # float(I/U) <= float(min/max); a candidate with min/max < tau
+    # cannot pass the verify comparison and is dropped on SLIM rows
+    # (two broadcast joins of the vocabulary-sized (id, size) table)
+    # before the shingle arrays ever move. No false negatives by the
+    # same monotonicity the verify itself compares with.
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("__sz"))
+    cand = (
+        cand.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))),
+            "id_b",
+        )
+        .filter(
+            F.least("__sza", "__szb").cast("double")
+            / F.greatest("__sza", "__szb").cast("double")
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+    )
     arrs_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     arrs_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = cand.join(arrs_a, "id_a").join(arrs_b, "id_b")

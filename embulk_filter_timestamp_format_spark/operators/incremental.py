@@ -137,14 +137,12 @@ def incremental_dedup_pass(
     )
     deleted = ch.filter(F.col("_change_type") == "delete").select(F.col(id_col))
 
-    # r06: the changelog diff surfaces ≤ num_buckets-ish partitions, so
-    # the shingle+signature extraction below would run near-serial at
-    # any core count — fan the changed rows out first (values unchanged;
-    # no-op when the diff is already parallel). Same fix for the verify
-    # re-shingle further down.
-    from .cache import spread_scan
-
-    new_sigs = spread_scan(changed, id_col).select(
+    # NOTE r06: a spread_scan fan-out was tried on this stage and the
+    # verify re-shingle below and measured ~12 s SLOWER end-to-end on
+    # the sf1 lifecycle (the churn frames are modest and already flow
+    # into exchanges; the extra repartitions only added barriers) — the
+    # diff reads stay as-is deliberately.
+    new_sigs = changed.select(
         F.col(id_col),
         shingle_keys(F.col(text_col), n).alias("sh"),
         F.col(seq_col),
@@ -173,6 +171,10 @@ def incremental_dedup_pass(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # r06: two consumers follow (the verify-id broadcast and the pair
+    # join) — uncached, each re-ran the whole band join + dedup; the
+    # broadcast build job populates the cache before the pair join reads
+    cand = cand.persist()
 
     # verify on candidates only: shingles re-read for the involved docs
     # via a broadcast semi-join — the corpus is scanned once,
@@ -186,7 +188,7 @@ def incremental_dedup_pass(
     # persist: both pair sides (id_a and id_b joins) read this frame —
     # uncached, the corpus scan + shingle extraction would run twice
     cand_sh = (
-        spread_scan(state.join(F.broadcast(ids), id_col), id_col)
+        state.join(F.broadcast(ids), id_col)
         .select(F.col(id_col), shingle_keys(F.col(text_col), n).alias("sh"))
     ).persist()
     pairs = cand.join(
@@ -255,6 +257,7 @@ def incremental_dedup_pass(
         sk_batch, batch_id=batch_id, source=source, probe_df=sk_probe
     )
     new_sigs.unpersist()
+    cand.unpersist()
     cand_sh.unpersist()
     drops.unpersist()
     ch.unpersist()
