@@ -79,7 +79,14 @@ def _events(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     return _read_spread(spark, f"{sf_dir}/events.parquet", "user_id")
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    # same single-file-layout A/B policy as _events (r06): the fan-out
+    # wins 3-12x for tokenizer/regex-heavy consumers (quality_filter,
+    # repetition_signals, pii_scrub, url family, the LSH extractions)
+    # and loses for aggregation-first or pure-projection consumers
+    # (dedup_exact, contamination, split/sample) - those opt out.
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
     return _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
 
 
@@ -442,7 +449,7 @@ def q_cdc_partition_lineage(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return D.dedup_exact(_docs(spark, sf_dir))
+    return D.dedup_exact(_docs(spark, sf_dir, spread=False))
 
 
 def q_text_analysis(spark, sf_dir):
@@ -741,7 +748,7 @@ def q_contamination(spark, sf_dir):
     oracle). Benchmark keys reduce to a broadcast int64 set; the corpus
     side is one explode + broadcast semi-join + per-doc hash aggregate,
     never shuffled by content."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     bench = docs.filter(F.col("doc_id") % 25 == 7)
     train = docs.filter(F.col("doc_id") % 25 != 7)
     return DC.contamination_report(train, bench, n=3, threshold=0.5)
@@ -753,7 +760,7 @@ def q_corpus_split(spark, sf_dir):
     bucket, so dataset versions never migrate documents across splits.
     Stateless narrow projection — no shuffle at any scale."""
     out = SAMP.hash_split(
-        _docs(spark, sf_dir), "doc_id",
+        _docs(spark, sf_dir, spread=False), "doc_id",
         {"train": 0.9, "val": 0.05, "test": 0.05},
     )
     return out.select("doc_id", "split_bucket", "split")
@@ -764,7 +771,7 @@ def q_corpus_sample(spark, sf_dir):
     keep 50% of en, 25% of fr, drop the rest — nested samples, stable
     under re-runs and re-sharding."""
     out = SAMP.stratified_sample(
-        _docs(spark, sf_dir), "doc_id", {"en": 0.5, "fr": 0.25},
+        _docs(spark, sf_dir, spread=False), "doc_id", {"en": 0.5, "fr": 0.25},
         strata_col="lang",
     )
     return out.select("doc_id", "lang")

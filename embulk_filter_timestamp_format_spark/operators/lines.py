@@ -74,6 +74,7 @@ def line_dedup(
     min_count: int = 2,
     keep_first: bool = False,
     broadcast_dupes: bool = True,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Remove corpus-duplicated lines from every document.
 
@@ -115,6 +116,13 @@ def line_dedup(
     ex = staged.select(
         F.col(id_col), F.posexplode("__lines").alias("pos", "line")
     ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    # r06: the exploded span stream feeds BOTH the corpus-wide count
+    # aggregate and the drop-join/regroup side — uncached, the (possibly
+    # expensive) chunking + explode pipeline executed once per consumer.
+    # Registry-persisted like every other shared operator intermediate.
+    from .cache import register_persist
+
+    ex = register_persist(ex, persist_intermediate)
 
     occ = ex.filter(F.col("norm") != "")
     counts = occ.groupBy("norm").agg(F.count(F.lit(1)).alias("__c"))

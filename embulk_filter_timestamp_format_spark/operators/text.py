@@ -338,6 +338,7 @@ def lm_score(
     id_col: str = "doc_id",
     alpha: float = 0.4,
     broadcast_model: bool = True,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Per-document bigram-LM fluency score — the KenLM-style
     perplexity-proxy quality filter (CCNet/Gopher pipelines score docs
@@ -372,6 +373,12 @@ def lm_score(
     doc_bigrams = df.select(
         F.col(id_col), F.explode(big_arr).alias("bg")
     ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # r06: the bigram stream feeds BOTH the model-count aggregate and
+    # the scoring join — uncached, the tokenize + zip_with + explode
+    # pipeline ran twice per query (registry persist, slim rows)
+    from .cache import register_persist
+
+    doc_bigrams = register_persist(doc_bigrams, persist_intermediate)
     big = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
 
     if broadcast_model:
