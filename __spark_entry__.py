@@ -51,8 +51,42 @@ def _spread_width(spark: SparkSession) -> int:
         return spark.sparkContext.defaultParallelism
 
 
+# Below this many bytes of parquet the fan-out exchange costs more than
+# the parallelism it buys (measured at sf0.1: ~1-4 MB tables lost
+# 0.2-1 s per query to the exchange; at sf1's 16-21 MB single files the
+# spread wins 2-12x on the heavy projections). Size-adaptive, not
+# core-count-tuned: rows scale with bytes, and the exchange only pays
+# off once per-row work x rows exceeds its fixed cost.
+# 4 MB of COMPRESSED parquet (snappy text compresses 3-4x, so this is
+# ~12-16 MB of rows): sf0.1-scale tables (0.8-2 MB) skip the exchange,
+# sf1-scale single files (5-18 MB) keep it.
+_SPREAD_MIN_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", 4 * 1024 * 1024)
+)
+_SCAN_BYTES: dict[str, int] = {}
+
+
+def _table_bytes(path: str) -> int:
+    import os
+
+    b = _SCAN_BYTES.get(path)
+    if b is None:
+        if os.path.isdir(path):
+            b = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            b = os.path.getsize(path) if os.path.exists(path) else 0
+        _SCAN_BYTES[path] = b
+    return b
+
+
 def _read_spread(spark: SparkSession, path: str, id_col: str) -> DataFrame:
     df = spark.read.parquet(path)
+    if _table_bytes(path) < _SPREAD_MIN_BYTES:
+        return df
     n = _SCAN_PARTS.get(path)
     if n is None:
         n = df.rdd.getNumPartitions()

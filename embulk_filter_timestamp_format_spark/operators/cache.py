@@ -63,14 +63,28 @@ def spread_scan(df: DataFrame, id_col: str) -> DataFrame:
         target = spark.sparkContext.defaultParallelism
     from pyspark.sql import functions as F
 
-    # UNCONDITIONAL repartition, deliberately: probing the actual width
-    # via df.rdd.getNumPartitions() EXECUTES every upstream shuffle
-    # stage under AQE (measured: one extra job per probe), and inputs
-    # that are already an explicit hash fan-out on the same key collapse
-    # with this node (CollapseRepartition) into a single exchange — so
-    # the already-wide case costs one shuffle of the rows the extraction
-    # was about to traverse anyway, and the common narrow case (lake
-    # bucket reads, changelog diffs) gains core-count parallelism.
+    # Size gate first: below ~4 MB of estimated input the exchange costs
+    # more than the parallelism it buys (measured ~1 s on the sf0.1
+    # dedup family). The optimizer's logical size estimate is file-size
+    # based for scans and free to read (no job) — unlike
+    # df.rdd.getNumPartitions(), which EXECUTES every upstream shuffle
+    # stage under AQE (measured: one extra job per probe). When the
+    # estimate is unavailable, spread: at 100-TB scale the narrow-input
+    # case is the one that hurts.
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est = None
+    if est is not None and 0 <= est < 4 * 1024 * 1024:
+        return df
+    # UNCONDITIONAL repartition otherwise: inputs that are already an
+    # explicit hash fan-out on the same key collapse with this node
+    # (CollapseRepartition) into a single exchange — so the
+    # already-wide case costs one shuffle of the rows the extraction
+    # was about to traverse anyway, and the narrow case (lake bucket
+    # reads, changelog diffs) gains core-count parallelism.
     return df.repartition(target, F.col(id_col))
 
 

@@ -68,7 +68,19 @@ def _peek_dim(df: DataFrame, vec_col: str) -> "int | None":
     control-plane read, same class as the engine's skew probe), enabling
     the codegen dot/norm unroll. Rows of any OTHER width still compute
     through the guarded HOF fallback, so the peek is a pure optimization
-    hint, never a correctness assumption."""
+    hint, never a correctness assumption.
+
+    r06 size gate: below ~4 MB of estimated input the unroll's fixed
+    costs (the peek job + janino-compiling the 64-term chains per fresh
+    plan) exceed what it saves — measured +1.2 s on embedding_topk at
+    sf0.1 vs a ~1.5x win at sf1 (and the 100x IVF-assignment win only
+    materializes at scale). Returning None selects the HOF fold."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if 0 <= est < 4 * 1024 * 1024:
+            return None
+    except Exception:
+        pass
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     d = row["d"] if row is not None else None
     return int(d) if d is not None and d > 0 else None

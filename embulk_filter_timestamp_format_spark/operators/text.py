@@ -24,6 +24,18 @@ STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 
 BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+# every character the punctuation counter does NOT count: ASCII
+# letters/digits plus Java regex \s = [ \t\n\x0B\f\r]. Counting via
+# translate(col, _ALNUM_WS, '') is character-exact with
+# regexp_replace(col, '[^A-Za-z0-9\\s]', '') length arithmetic (any
+# char outside this set — unicode included — counts as punctuation in
+# both forms) and measured 4.5× faster: translate is a plain char map,
+# the regex engine costs ~1 µs/char on this shape (r06).
+_ALNUM_WS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t\n\x0b\x0c\r"
+)
+
 
 def words(col: Column) -> Column:
     """Whitespace tokenization; empty-safe."""
@@ -49,7 +61,7 @@ def punct_ratio(col: Column) -> Column:
     n = F.length(col)
     return F.when(
         n > 0,
-        (n - F.length(F.regexp_replace(col, "[^A-Za-z0-9\\s]", ""))) / n,
+        F.length(F.translate(col, _ALNUM_WS, "")) / n,
     ).otherwise(F.lit(0.0))
 
 
@@ -137,7 +149,7 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             for lang, ms in langs
         ],
         F.length("__t").alias("__len"),
-        F.length(F.regexp_replace("__t", "[^A-Za-z0-9\\s]", "")).alias("__alnum"),
+        (F.length("__t") - F.length(F.translate("__t", _ALNUM_WS, ""))).alias("__alnum"),
         F.regexp_count("__t", F.lit(BPE_TOKEN_RE)).alias("__bpe"),
         fingerprint_md5(F.col("__t")).alias("__fp"),
     )
